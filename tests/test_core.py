@@ -1,0 +1,167 @@
+"""Unit tests for the pinned reference semantics (raycrawl.core)."""
+
+from raycrawl import core
+
+
+class TestCanonicalize:
+    def test_lowercase_scheme_host(self):
+        assert core.canonicalize_url("HTTP://Ex.COM/Path") == "http://ex.com/Path"
+
+    def test_strip_default_port(self):
+        assert core.canonicalize_url("http://a.com:80/x") == "http://a.com/x"
+        assert core.canonicalize_url("https://a.com:443/x") == "https://a.com/x"
+        assert core.canonicalize_url("http://a.com:8080/x") == "http://a.com:8080/x"
+
+    def test_strip_fragment(self):
+        assert core.canonicalize_url("http://a.com/x#frag") == "http://a.com/x"
+
+    def test_dot_segments(self):
+        assert core.canonicalize_url("http://a.com/a/../b/./c") == "http://a.com/b/c"
+        assert core.canonicalize_url("http://a.com/../../x") == "http://a.com/x"
+
+    def test_empty_path(self):
+        assert core.canonicalize_url("http://a.com") == "http://a.com/"
+
+    def test_percent_unreserved_decoded(self):
+        assert core.canonicalize_url("http://a.com/%41%2fb") == "http://a.com/A%2Fb"
+
+    def test_query_order_kept(self):
+        assert core.canonicalize_url("http://a.com/x?b=2&a=1") == "http://a.com/x?b=2&a=1"
+
+    def test_non_http_rejected(self):
+        assert core.canonicalize_url("mailto:a@b.com") == ""
+        assert core.canonicalize_url("javascript:void(0)") == ""
+        assert core.canonicalize_url("ftp://x/f") == ""
+        assert core.canonicalize_url("") == ""
+
+    def test_hash_stable(self):
+        h = core.url_hash("http://a.com/")
+        assert h == core.url_hash("http://a.com/")
+        assert 0 <= h < 2**64
+        # pinned value — changing the hash fn breaks seen-set snapshots
+        assert h == int.from_bytes(
+            __import__("hashlib").sha1(b"http://a.com/").digest()[:8], "big"
+        )
+
+    def test_host_of(self):
+        assert core.host_of("http://A.B.com:8080/x") == "a.b.com"
+        assert core.host_of("not a url") == ""
+
+
+class TestCharset:
+    def test_meta_charset(self):
+        html = '<html><head><meta charset="latin-1"></head></html>'.encode()
+        assert core.sniff_charset(html) == "latin-1"
+
+    def test_header_wins(self):
+        html = '<meta charset="gbk">'.encode()
+        assert core.sniff_charset(html, "text/html; charset=latin-1") == "latin-1"
+
+    def test_default_utf8(self):
+        assert core.sniff_charset(b"<html></html>") == "utf-8"
+
+    def test_bogus_charset_falls_through(self):
+        assert core.sniff_charset(b'<meta charset="not-a-charset">') == "utf-8"
+
+    def test_decode_latin1(self):
+        body = "<html><body>café</body></html>"
+        html = f'<meta charset="latin-1">{body}'.encode("latin-1")
+        assert "café" in core.decode_html(html)
+
+
+class TestExtractText:
+    def test_strips_script_style_template(self):
+        html = (
+            b"<html><body><p>keep</p><script>drop()</script>"
+            b"<style>.x{}</style><template>tpl</template><p>also</p></body></html>"
+        )
+        assert core.extract_text(html) == "keepalso"
+
+    def test_entities_decoded(self):
+        assert core.extract_text(b"<p>a &amp; b &#x27;q&#x27;</p>") == "a & b 'q'"
+
+    def test_document_order_no_collapse(self):
+        assert core.extract_text(b"<div>a <b>b</b>  c</div>") == "a b  c"
+
+    def test_comments_dropped(self):
+        assert core.extract_text(b"<p>x<!-- hidden -->y</p>") == "xy"
+
+    def test_nested_skip(self):
+        html = b"<script><script>x</script></script><p>ok</p>"
+        # inner </script> closes; pinned: stack-count based skip
+        assert "ok" in core.extract_text(html)
+
+    def test_empty(self):
+        assert core.extract_text(b"") == ""
+
+
+class TestExtractLinks:
+    def test_resolve_and_filter(self):
+        html = (
+            b'<a href="/x">1</a><a href="http://b.com/y">2</a>'
+            b'<a href="mailto:z@q.com">3</a><a href="#top">4</a>'
+            b'<a href="javascript:void(0)">5</a><a>6</a>'
+        )
+        links = core.extract_links(html, "http://a.com/base/p")
+        assert links == ["http://a.com/x", "http://b.com/y"]
+
+    def test_relative_resolution(self):
+        links = core.extract_links(b'<a href="../up">x</a>', "http://a.com/d/e/f")
+        assert links == ["http://a.com/d/up"]
+
+    def test_document_order(self):
+        html = b'<a href="/1">a</a><div><a href="/2">b</a></div><a href="/3">c</a>'
+        links = core.extract_links(html, "http://a.com/")
+        assert links == ["http://a.com/1", "http://a.com/2", "http://a.com/3"]
+
+
+class TestRobots:
+    def test_basic_disallow(self):
+        r = core.parse_robots("User-agent: *\nDisallow: /private/\n")
+        assert r.allows("/public/x")
+        assert not r.allows("/private/x")
+
+    def test_empty_disallow_allows_all(self):
+        r = core.parse_robots("User-agent: *\nDisallow:\n")
+        assert r.allows("/anything")
+        assert r.disallow == ()
+
+    def test_block_all(self):
+        r = core.parse_robots("User-agent: *\nDisallow: /\n")
+        assert not r.allows("/")
+        assert not r.allows("/x")
+
+    def test_other_agent_ignored(self):
+        r = core.parse_robots("User-agent: googlebot\nDisallow: /\n")
+        assert r.allows("/x")
+
+    def test_agent_run_grouping(self):
+        body = "User-agent: a\nUser-agent: *\nDisallow: /x\n\nUser-agent: b\nDisallow: /y\n"
+        r = core.parse_robots(body)
+        assert not r.allows("/x")
+        assert r.allows("/y")
+
+    def test_crawl_delay(self):
+        r = core.parse_robots("User-agent: *\nCrawl-delay: 2.5\n")
+        assert r.crawl_delay_ms == 2500
+
+    def test_empty_file(self):
+        r = core.parse_robots("")
+        assert r.allows("/x")
+        assert r.crawl_delay_ms == 0
+
+
+class TestPoliteness:
+    def test_quota(self):
+        assert core.politeness_quota(1000, 0, 60_000, 10_000) == 60
+        assert core.politeness_quota(0, 500, 60_000, 10_000) == 120
+        assert core.politeness_quota(0, 0, 60_000, 77) == 77
+        assert core.politeness_quota(120_000, 0, 60_000, 10_000) == 1  # at least 1
+
+    def test_transient_failure_deterministic(self):
+        a = core.transient_failure(12345, 0, 500)
+        assert a == core.transient_failure(12345, 0, 500)
+        assert core.transient_failure(12345, 0, 0) is False
+
+    def test_child_seq(self):
+        assert core.child_seq(7, 3) == 7 * core.SEQ_STRIDE + 3
