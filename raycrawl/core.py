@@ -204,6 +204,62 @@ def extract_text(html: bytes, content_type: str | None = None) -> str:
     return extract_text_str(decode_html(html, content_type))
 
 
+class _PageParser(HTMLParser):
+    """Fused text+link extractor — ONE parse per page. Semantics are
+    identical to running _TextExtractor and _LinkExtractor separately
+    (asserted in tests); used by the hot fetch/extract stage."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self._skip = 0
+        self.parts: list[str] = []
+        self.hrefs: list[str] = []
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if tag in _SKIP_TAGS:
+            self._skip += 1
+        elif tag == "a":
+            for k, v in attrs:
+                if k == "href" and v is not None:
+                    self.hrefs.append(v)
+                    break
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag in _SKIP_TAGS and self._skip:
+            self._skip -= 1
+
+    def handle_data(self, data: str) -> None:
+        if not self._skip:
+            self.parts.append(data)
+
+
+def _resolve_hrefs(hrefs: list[str], base_url: str) -> list[str]:
+    out: list[str] = []
+    for href in hrefs:
+        href = href.strip()
+        if not href or href.startswith("#"):
+            continue
+        try:
+            resolved = urljoin(base_url, href)
+            parts = urlsplit(resolved)
+        except ValueError:
+            continue
+        if parts.scheme not in ("http", "https") or not parts.netloc:
+            continue
+        out.append(resolved)
+    return out
+
+
+def extract_page(
+    html: bytes, base_url: str, content_type: str | None = None
+) -> tuple[str, list[str]]:
+    """M4+M6+M5 in one pass: (extracted_text, resolved_links)."""
+    p = _PageParser()
+    p.feed(decode_html(html, content_type))
+    p.close()
+    return "".join(p.parts), _resolve_hrefs(p.hrefs, base_url)
+
+
 class _LinkExtractor(HTMLParser):
     def __init__(self) -> None:
         super().__init__(convert_charrefs=True)
@@ -224,20 +280,7 @@ def extract_links(html: bytes, base_url: str, content_type: str | None = None) -
     p = _LinkExtractor()
     p.feed(decode_html(html, content_type))
     p.close()
-    out: list[str] = []
-    for href in p.hrefs:
-        href = href.strip()
-        if not href or href.startswith("#"):
-            continue
-        try:
-            resolved = urljoin(base_url, href)
-            parts = urlsplit(resolved)
-        except ValueError:
-            continue
-        if parts.scheme not in ("http", "https") or not parts.netloc:
-            continue
-        out.append(resolved)
-    return out
+    return _resolve_hrefs(p.hrefs, base_url)
 
 
 # ---------------------------------------------------------------------------
