@@ -1,44 +1,75 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+entry(): flagship fetch-and-extract pipeline over sf0.001 documents —
+synthesizes html payloads, runs the engine's fused charset-decode +
+text/link extraction stage (raycrawl.core semantics), returns a Dataset.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+queries()/oracle_sql(): the full operator registry (raycrawl.registry) —
+one entry per implemented SURVEY.md §2 operator plus the training-data
+extensions; oracle-checkable ones carry DuckDB SQL.
+
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in raycrawl) calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raycrawl.ops.html import extract_text_batch
+    from raycrawl.textproc import token_count_batch
+
+    docs = rd.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+
+    def synth_html(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        texts = t["text"].to_pylist()
+        payloads = [
+            (
+                f"<html><head><title>doc {i}</title>"
+                f"<style>p {{margin: 0}}</style></head>"
+                f"<body><p>{x}</p><a href='/doc/{i + 1}'>next</a>"
+                f"<script>var hidden = 1;</script></body></html>"
+            ).encode("utf-8")
+            for i, x in zip(ids, texts)
+        ]
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "lang": t["lang"],
+                "html": pa.array(payloads, pa.binary()),
+            }
+        )
+
+    ds = docs.map_batches(synth_html, batch_format="pyarrow", zero_copy_batch=True)
+    ds = ds.map_batches(extract_text_batch, batch_format="pyarrow", zero_copy_batch=True)
+    ds = ds.map_batches(
+        lambda t: token_count_batch(t.drop_columns(["html"])),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return ds.select_columns(["doc_id", "lang", "text", "n_tokens"])
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from raycrawl.registry import build_queries
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return build_queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from raycrawl.registry import build_oracle_sql
+
+    return build_oracle_sql()

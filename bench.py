@@ -1,0 +1,237 @@
+"""raycrawl benchmark harness (SURVEY.md §6).
+
+Default: run the headline pipelines over $GRAFT_SF_DIR (default
+/root/testdata/sf0.1) + the bench crawl corpus, under
+ray.init(address="local", num_cpus=$RAY_GRAFT_CPUS or 32), and print ONE
+JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "num_cpus": N,
+   "throughput": {...pages/s...}}
+
+--scaling: run the extract headline twice in FRESH subprocesses at
+--cpus-low (8) and --cpus-high (32) on the same input and report both
+throughputs + scaling efficiency (sandbox proxy for the N-vs-4N-node
+criterion, per BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+BENCH_CORPUS = "/tmp/raycrawl_bench_corpus"
+BENCH_HOSTS = 200
+BENCH_PAGES = 100_000
+
+
+def ensure_bench_corpus() -> str:
+    from raycrawl.fixtures.gen_corpus import generate
+
+    marker = os.path.join(BENCH_CORPUS, ".complete")
+    if not os.path.exists(marker):
+        generate(BENCH_CORPUS, n_hosts=BENCH_HOSTS, n_pages=BENCH_PAGES,
+                 procs=min(16, os.cpu_count() or 4))
+        with open(marker, "w") as f:
+            f.write("ok\n")
+    return BENCH_CORPUS
+
+
+def _consume(ds) -> int:
+    n = 0
+    for b in ds.iter_batches(batch_format="pyarrow", batch_size=8192):
+        n += b.num_rows
+    return n
+
+
+def bench_extract(corpus: str) -> dict:
+    """Headline: full-corpus fused parse (M4+M5+M6) — the dominant compute
+    of any crawl round."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raycrawl import core
+
+    def parse(t: pa.Table) -> pa.Table:
+        texts, nlinks = [], []
+        for html, base in zip(t["html"].to_pylist(), t["url"].to_pylist()):
+            text, links = core.extract_page(html or b"", base or "")
+            texts.append(text)
+            nlinks.append(len(links))
+        return pa.table(
+            {
+                "url": t["url"],
+                "text": pa.array(texts, pa.string()),
+                "n_links": pa.array(nlinks, pa.int32()),
+            }
+        )
+
+    t0 = time.perf_counter()
+    ds = rd.read_parquet(os.path.join(corpus, "pages.parquet"), columns=["url", "html"])
+    out = ds.map_batches(parse, batch_format="pyarrow", zero_copy_batch=True,
+                         batch_size=1024)
+    n = _consume(out)
+    dt = time.perf_counter() - t0
+    return {"sec": dt, "pages": n, "pages_per_sec": n / dt}
+
+
+def bench_crawl(corpus: str) -> dict:
+    """Headline: 3 frontier rounds end-to-end (politeness, dedup, seen
+    actors, fetch join, extraction, checkpoints). Seeds every host so the
+    rounds carry real volume (the 8-seed fixture list would measure only
+    fixed round overhead)."""
+    import shutil
+
+    from raycrawl.core import CrawlConfig
+    from raycrawl.fixtures.gen_corpus import page_url
+    from raycrawl.pipelines.crawl import run_crawl_ray
+
+    out = "/tmp/raycrawl_bench_crawlout"
+    if os.path.isdir(out):
+        shutil.rmtree(out)
+    seeds = [page_url(42, h, 0, BENCH_HOSTS) for h in range(BENCH_HOSTS)]
+    cfg = CrawlConfig(max_rounds=3, seen_shards=8)
+    t0 = time.perf_counter()
+    s = run_crawl_ray(corpus, out, cfg, seed_urls=seeds, resume=False)
+    dt = time.perf_counter() - t0
+    frontier_urls = sum(c.get("discovered", 0) for c in s["counters"])
+    return {
+        "sec": dt,
+        "pages": s["visits"],
+        "pages_per_sec": s["visits"] / dt,
+        "frontier_urls": frontier_urls,
+        "frontier_urls_per_sec": frontier_urls / dt,
+    }
+
+
+def bench_queries(sf_dir: str) -> dict:
+    """Representative generic-operator pipelines at sf0.1."""
+    from raycrawl import dedup, relational, similarity, textproc
+
+    out = {}
+
+    def run(name, fn):
+        t0 = time.perf_counter()
+        res = fn(sf_dir)
+        if hasattr(res, "iter_batches"):
+            _consume(res)
+        out[name] = round(time.perf_counter() - t0, 3)
+
+    run("groupby_agg", relational.q_groupby_agg)
+    run("join_fetch", relational.q_join_fetch)
+    run("dedup_exact", relational.q_dedup_exact)
+    run("group_headn", relational.q_group_headn)
+    run("token_count", textproc.token_counts)
+    run("ann_topk", similarity.ann_topk)
+    run("dedup_minhash", dedup.minhash_dedup)
+    return out
+
+
+def run_once(args) -> dict:
+    import ray
+
+    num_cpus = args.num_cpus or int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    corpus = ensure_bench_corpus()
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+                 logging_level="ERROR")
+    import ray.data as rd
+
+    rd.DataContext.get_current().enable_progress_bars = False
+
+    queries: dict[str, float] = {}
+    throughput: dict[str, float] = {}
+    total = 0.0
+    components = args.components.split(",")
+    if "extract" in components:
+        r = bench_extract(corpus)
+        queries["extract"] = round(r["sec"], 3)
+        throughput["extract_pages_per_sec"] = round(r["pages_per_sec"], 1)
+        total += r["sec"]
+    if "crawl" in components:
+        r = bench_crawl(corpus)
+        queries["crawl"] = round(r["sec"], 3)
+        throughput["crawl_pages_per_sec"] = round(r["pages_per_sec"], 1)
+        throughput["frontier_urls_per_sec"] = round(r["frontier_urls_per_sec"], 1)
+        total += r["sec"]
+    if "queries" in components:
+        q = bench_queries(sf_dir)
+        queries.update(q)
+        total += sum(q.values())
+
+    result = {
+        "metric": "raycrawl_bench_total",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": 0.1,
+        "num_cpus": num_cpus,
+        "throughput": throughput,
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling(args) -> dict:
+    """Fresh subprocess per CPU level, same input (cluster-size proxy)."""
+    ensure_bench_corpus()  # generate once, outside the timed runs
+    results = {}
+    for cpus in (args.cpus_low, args.cpus_high):
+        p = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--components",
+             args.scaling_component, "--num-cpus", str(cpus)],
+            capture_output=True, text=True, cwd=REPO, timeout=3600,
+        )
+        line = [l for l in p.stdout.strip().splitlines() if l.startswith("{")][-1]
+        results[cpus] = json.loads(line)
+    key = ("extract_pages_per_sec" if "extract" in args.scaling_component
+           else "crawl_pages_per_sec")
+    lo = results[args.cpus_low]["throughput"][key]
+    hi = results[args.cpus_high]["throughput"][key]
+    factor = args.cpus_high / args.cpus_low
+    eff = (hi / lo) / factor
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "queries": {
+            f"throughput_cpus_{args.cpus_low}": lo,
+            f"throughput_cpus_{args.cpus_high}": hi,
+        },
+        "sf": 0.1,
+        "num_cpus": args.cpus_high,
+        "detail": {
+            "component": args.scaling_component,
+            "cpus_low": args.cpus_low,
+            "cpus_high": args.cpus_high,
+            "pages_per_sec_low": lo,
+            "pages_per_sec_high": hi,
+            "ideal_factor": factor,
+            "achieved_factor": round(hi / lo, 3),
+            "efficiency": round(eff, 3),
+        },
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--components", default="extract,crawl,queries")
+    ap.add_argument("--scaling-component", default="extract")
+    ap.add_argument("--num-cpus", type=int, default=None)
+    ap.add_argument("--cpus-low", type=int, default=8)
+    ap.add_argument("--cpus-high", type=int, default=32)
+    args = ap.parse_args()
+    result = run_scaling(args) if args.scaling else run_once(args)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,239 @@
+"""Deduplication operators (D-series + training-data extensions):
+
+- exact (content-hash groupby; see relational.q_dedup_exact)
+- MinHash + LSH banding (word-shingle Jaccard near-dup)
+- SimHash (hamming-distance near-dup)
+- n-gram Jaccard verification
+- embedding-cosine near-dup (broadcast brute force + hyperplane-LSH path)
+
+Ray-native shape: signatures are computed in vectorized `map_batches`
+stages; banding is a flat-map that emits (band_key, doc_id, signature)
+rows; candidate discovery is a `groupby(band_key)` shuffle whose payload is
+just doc_id + 64x-uint64 signature (NOT the text); verification happens
+per-bucket inside `map_groups`; the final connected-components/keep-list
+step runs on the (tiny) verified-pair set on the driver.
+
+At the 10^10-doc design point the pair set is bounded by true-duplicate
+density, not corpus size, so the driver union-find stays small; the
+shuffles carry ~0.5 KB per doc.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+_MERSENNE = (1 << 61) - 1
+_N_PERM = 64
+_BANDS = 16  # 16 bands x 4 rows
+_ROWS = _N_PERM // _BANDS
+
+_rng = np.random.RandomState(42)
+_A = _rng.randint(1, _MERSENNE, size=_N_PERM, dtype=np.int64).astype(np.uint64)
+_B = _rng.randint(0, _MERSENNE, size=_N_PERM, dtype=np.int64).astype(np.uint64)
+
+
+def _hash64(s: str) -> int:
+    return int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "big")
+
+
+def shingles(text: str, n: int = 3) -> np.ndarray:
+    """Word n-gram shingle hashes (uint64)."""
+    toks = text.split()
+    if len(toks) < n:
+        grams = [" ".join(toks)] if toks else []
+    else:
+        grams = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+    return np.array([_hash64(g) for g in grams], dtype=np.uint64)
+
+
+def minhash_signature(text: str) -> np.ndarray:
+    """64-perm MinHash signature of the word-3-gram shingle set."""
+    s = shingles(text)
+    if s.size == 0:
+        return np.full(_N_PERM, np.uint64(_MERSENNE), dtype=np.uint64)
+    # h_i(x) = (a_i * x + b_i) mod M, vectorized (m, P)
+    with np.errstate(over="ignore"):
+        vals = (s[:, None] * _A[None, :] + _B[None, :]) % np.uint64(_MERSENNE)
+    return vals.min(axis=0)
+
+
+def minhash_batch(t: pa.Table, col: str = "text") -> pa.Table:
+    sigs = [minhash_signature(x or "") for x in t[col].to_pylist()]
+    return pa.table(
+        {
+            "doc_id": t["doc_id"],
+            "sig": pa.array([s.tolist() for s in sigs], pa.list_(pa.uint64())),
+        }
+    )
+
+
+def band_explode(t: pa.Table) -> pa.Table:
+    """One row per (doc, band): band bucket key = blake2b(band_idx || 4 sig
+    values). Carries the full signature for in-bucket verification."""
+    doc_ids = t["doc_id"].to_pylist()
+    sigs = t["sig"].to_pylist()
+    out_doc, out_key, out_sig = [], [], []
+    for d, sig in zip(doc_ids, sigs):
+        for b in range(_BANDS):
+            chunk = sig[b * _ROWS : (b + 1) * _ROWS]
+            key = _hash64(f"{b}:" + ",".join(map(str, chunk)))
+            out_doc.append(d)
+            out_key.append(key)
+            out_sig.append(sig)
+    return pa.table(
+        {
+            "doc_id": pa.array(out_doc, pa.int64()),
+            "bkey": pa.array(out_key, pa.uint64()),
+            "sig": pa.array(out_sig, pa.list_(pa.uint64())),
+        }
+    )
+
+
+def _bucket_pairs(g: pd.DataFrame, threshold: float) -> pd.DataFrame:
+    """Within one band bucket: verify candidate pairs by full-signature
+    agreement (unbiased Jaccard estimate); emit pairs >= threshold."""
+    if len(g) < 2:
+        return pd.DataFrame({"a": [], "b": []}, dtype="int64")
+    g = g.sort_values("doc_id")
+    ids = g["doc_id"].to_numpy()
+    sigs = np.stack(g["sig"].to_numpy())
+    a_out, b_out = [], []
+    for i in range(len(ids)):
+        agree = (sigs[i + 1 :] == sigs[i]).mean(axis=1)
+        for j in np.flatnonzero(agree >= threshold):
+            a_out.append(int(ids[i]))
+            b_out.append(int(ids[i + 1 + j]))
+    return pd.DataFrame({"a": a_out, "b": b_out}, dtype="int64")
+
+
+def _components_keep(all_ids: list[int], pairs: list[tuple[int, int]]) -> list[int]:
+    """Union-find over verified pairs; keep the min id per component."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    drop = {x for x in parent if find(x) != x}
+    return sorted(i for i in all_ids if i not in drop)
+
+
+def minhash_dedup(sf_dir: str, threshold: float = 0.7) -> pa.Table:
+    """Full MinHash-LSH dedup over documents: returns kept doc_ids."""
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    sigs = docs.map_batches(minhash_batch, batch_format="pyarrow", zero_copy_batch=True)
+    banded = sigs.map_batches(band_explode, batch_format="pyarrow")
+    pairs_ds = banded.groupby("bkey").map_groups(
+        lambda g: _bucket_pairs(g, threshold), batch_format="pandas"
+    )
+    pairs = {  # dedup pair list (bands can emit the same pair many times)
+        (int(r["a"]), int(r["b"])) for r in pairs_ds.take_all()
+    }
+    all_ids = [r["doc_id"] for r in docs.select_columns(["doc_id"]).take_all()]
+    keep = _components_keep(all_ids, sorted(pairs))
+    return pa.table({"doc_id": pa.array(keep, pa.int64())})
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(text: str) -> int:
+    """64-bit SimHash over whitespace tokens."""
+    toks = text.split()
+    if not toks:
+        return 0
+    hs = np.array([_hash64(w) for w in toks], dtype=np.uint64)
+    bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
+        np.int64
+    )
+    votes = (2 * bits - 1).sum(axis=0)
+    out = np.uint64(0)
+    for i in np.flatnonzero(votes > 0):
+        out |= np.uint64(1) << np.uint64(i)
+    return int(out)
+
+
+def simhash_batch(t: pa.Table, col: str = "text") -> pa.Table:
+    vals = [simhash(x or "") for x in t[col].to_pylist()]
+    return pa.table({"doc_id": t["doc_id"], "simhash": pa.array(vals, pa.uint64())})
+
+
+def _sim_bucket_pairs(g: pd.DataFrame, max_hamming: int) -> pd.DataFrame:
+    if len(g) < 2:
+        return pd.DataFrame({"a": [], "b": []}, dtype="int64")
+    g = g.sort_values("doc_id")
+    ids = g["doc_id"].to_numpy()
+    sh = g["simhash"].to_numpy().astype(np.uint64)
+    a_out, b_out = [], []
+    for i in range(len(ids)):
+        x = sh[i + 1 :] ^ sh[i]
+        ham = np.array([bin(int(v)).count("1") for v in x])
+        for j in np.flatnonzero(ham <= max_hamming):
+            a_out.append(int(ids[i]))
+            b_out.append(int(ids[i + 1 + j]))
+    return pd.DataFrame({"a": a_out, "b": b_out}, dtype="int64")
+
+
+def simhash_dedup(sf_dir: str, max_hamming: int = 3) -> pa.Table:
+    """SimHash near-dup: 4x16-bit band buckets (any pair within hamming<=3
+    shares at least one exact 16-bit band by pigeonhole), verified by true
+    hamming distance in-bucket. Returns kept doc_ids."""
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    sh = docs.map_batches(simhash_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        vals = t["simhash"].to_pylist()
+        od, ok, ov = [], [], []
+        for d, v in zip(ids, vals):
+            for b in range(4):
+                band = (v >> (16 * b)) & 0xFFFF
+                od.append(d)
+                ok.append((b << 16) | band)
+                ov.append(v)
+        return pa.table(
+            {
+                "doc_id": pa.array(od, pa.int64()),
+                "bkey": pa.array(ok, pa.int64()),
+                "simhash": pa.array(ov, pa.uint64()),
+            }
+        )
+
+    banded = sh.map_batches(explode, batch_format="pyarrow")
+    pairs_ds = banded.groupby("bkey").map_groups(
+        lambda g: _sim_bucket_pairs(g, max_hamming), batch_format="pandas"
+    )
+    pairs = {(int(r["a"]), int(r["b"])) for r in pairs_ds.take_all()}
+    all_ids = [r["doc_id"] for r in docs.select_columns(["doc_id"]).take_all()]
+    keep = _components_keep(all_ids, sorted(pairs))
+    return pa.table({"doc_id": pa.array(keep, pa.int64())})
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact verification measure)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard(a: str, b: str, n: int = 3) -> float:
+    sa = set(shingles(a, n).tolist())
+    sb = set(shingles(b, n).tolist())
+    if not sa and not sb:
+        return 1.0
+    if not sa or not sb:
+        return 0.0
+    return len(sa & sb) / len(sa | sb)

@@ -168,25 +168,21 @@ def gen_host_rows(seed: int, h: int, n_hosts: int, counts: list[int]) -> dict:
     return {"url": urls, "warc_ts": tss, "html": htmls, "text": texts, "lang": langs}
 
 
-def generate(out_dir: str, n_hosts: int = 20, n_pages: int = 1000, seed: int = 42) -> dict:
-    os.makedirs(out_dir, exist_ok=True)
-    counts = zipf_counts(n_hosts, n_pages)
+PAGES_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("warc_ts", pa.timestamp("us")),
+        ("html", pa.binary()),
+        ("text", pa.string()),
+        ("lang", pa.string()),
+    ]
+)
 
-    cols = {"url": [], "warc_ts": [], "html": [], "text": [], "lang": []}
-    for h in range(n_hosts):
-        rows = gen_host_rows(seed, h, n_hosts, counts)
-        for k in cols:
-            cols[k].extend(rows[k])
-    schema = pa.schema(
-        [
-            ("url", pa.string()),
-            ("warc_ts", pa.timestamp("us")),
-            ("html", pa.binary()),
-            ("text", pa.string()),
-            ("lang", pa.string()),
-        ]
-    )
-    pages = pa.table(
+
+def _host_table(args) -> pa.Table:
+    seed, h, n_hosts, counts = args
+    cols = gen_host_rows(seed, h, n_hosts, counts)
+    return pa.table(
         {
             "url": cols["url"],
             "warc_ts": pa.array(cols["warc_ts"], pa.timestamp("us")),
@@ -194,9 +190,47 @@ def generate(out_dir: str, n_hosts: int = 20, n_pages: int = 1000, seed: int = 4
             "text": cols["text"],
             "lang": cols["lang"],
         },
-        schema=schema,
+        schema=PAGES_SCHEMA,
     )
-    pq.write_table(pages, os.path.join(out_dir, "pages.parquet"))
+
+
+def generate(
+    out_dir: str,
+    n_hosts: int = 20,
+    n_pages: int = 1000,
+    seed: int = 42,
+    shard_rows: int = 4096,
+    procs: int = 1,
+) -> dict:
+    """`pages.parquet` is a DIRECTORY of ~shard_rows-row part files so Ray
+    reads get parallel blocks (a single 100k-row file would serialize the
+    scan). Generation is order-independent per host -> parallelizable."""
+    os.makedirs(out_dir, exist_ok=True)
+    counts = zipf_counts(n_hosts, n_pages)
+
+    jobs = [(seed, h, n_hosts, counts) for h in range(n_hosts)]
+    if procs > 1:
+        from concurrent.futures import ProcessPoolExecutor
+
+        with ProcessPoolExecutor(max_workers=procs) as ex:
+            tables = list(ex.map(_host_table, jobs, chunksize=max(1, n_hosts // (procs * 4))))
+    else:
+        tables = [_host_table(j) for j in jobs]
+    pages = pa.concat_tables(tables)
+
+    pages_dir = os.path.join(out_dir, "pages.parquet")
+    import shutil
+
+    if os.path.isdir(pages_dir):
+        shutil.rmtree(pages_dir)
+    elif os.path.exists(pages_dir):
+        os.remove(pages_dir)
+    os.makedirs(pages_dir)
+    for i, off in enumerate(range(0, pages.num_rows, shard_rows)):
+        pq.write_table(
+            pages.slice(off, shard_rows),
+            os.path.join(pages_dir, f"part-{i:05d}.parquet"),
+        )
 
     # seeds: first page of the 5 hottest hosts + 3 mid hosts
     seed_hosts = list(range(min(5, n_hosts))) + [
@@ -247,8 +281,9 @@ def main() -> None:
     ap.add_argument("--hosts", type=int, default=20)
     ap.add_argument("--pages", type=int, default=1000)
     ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--procs", type=int, default=1)
     args = ap.parse_args()
-    info = generate(args.out, args.hosts, args.pages, args.seed)
+    info = generate(args.out, args.hosts, args.pages, args.seed, procs=args.procs)
     print(info)
 
 

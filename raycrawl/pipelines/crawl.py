@@ -78,6 +78,17 @@ VISIT_SCHEMA = pa.schema(
 )
 
 
+def _enforce_frontier_schema(t: pa.Table) -> pa.Table:
+    """Normalize any frontier-shaped block to FRONTIER_SCHEMA. Empty
+    blocks can arrive schema-less (zero columns) out of filter/map_groups
+    stages — pyarrow joins and casts reject those, so rebuild them."""
+    if t.num_rows == 0 or t.num_columns == 0:
+        return FRONTIER_SCHEMA.empty_table()
+    return pa.table(
+        {k: t[k].cast(FRONTIER_SCHEMA.field(k).type) for k in FRONTIER_SCHEMA.names}
+    )
+
+
 def _frontier_table(rows: list[dict]) -> pa.Table:
     cols = {f.name: [r[f.name] for r in rows] for f in FRONTIER_SCHEMA}
     return pa.table(
@@ -307,34 +318,79 @@ def run_crawl_ray(
             eligible, delays, cfg,
             hot_threshold=cfg.extra.get("hot_threshold", 50_000),
             n_salts=cfg.extra.get("n_salts", 8),
+            total_rows=n_frontier,  # skips hot-detection when it can't trigger
         )
-        taken = taken_ds.to_arrow_refs()
-        taken_tbl = pa.concat_tables([ray.get(r) for r in taken], promote_options="default") \
-            if taken else _frontier_table([])
-        c["taken"] = taken_tbl.num_rows
+        # One materialization of the (politeness-bounded) taken set; both
+        # fetch strategies and the counters share it — no re-execution.
+        # Empty zero-column blocks (an artifact of map_groups partitions
+        # with no groups) are dropped here: pyarrow joins reject them and
+        # Ray skips map UDFs on empty blocks, so they can't be fixed later.
+        _all_refs = taken_ds.to_arrow_refs()
+        _all_tabs = ray.get(_all_refs) if _all_refs else []
+        taken_refs = [
+            r for r, t in zip(_all_refs, _all_tabs)
+            if t.num_rows > 0 and t.num_columns > 0
+        ]
+        c["taken"] = int(sum(t.num_rows for t in _all_tabs))
 
-        # -- fetch ----------------------------------------------------
-        # corpus key == url_norm; value tuple:
-        # (url_norm, url_hash, host, depth, priority, seq, attempt)
-        fetch_map = {
-            n: (n, h, ho, d, p, s, a)
-            for n, h, ho, d, p, s, a in zip(
-                taken_tbl["url_norm"].to_pylist(),
-                taken_tbl["url_hash"].to_pylist(),
-                taken_tbl["host"].to_pylist(),
-                taken_tbl["depth"].to_pylist(),
-                taken_tbl["priority"].to_pylist(),
-                taken_tbl["seq"].to_pylist(),
-                taken_tbl["attempt"].to_pylist(),
-            )
-        }
         corpus = rd.read_parquet(pages_path, columns=["url", "warc_ts", "html"])
-        if fetch_strategy == "join" :
-            matched = taken_ds.join(
-                corpus, "inner", num_partitions=cfg.num_partitions,
+        miss_rows: list[dict] = []
+        if fetch_strategy == "join":
+            # Distributed hash join (for fetch sets too large to broadcast):
+            # LEFT OUTER so 404 misses fall out of the same single shuffle.
+            left = (
+                rd.from_arrow_refs(taken_refs)
+                if taken_refs
+                else rd.from_arrow(FRONTIER_SCHEMA.empty_table())
+            ).map_batches(
+                _enforce_frontier_schema, batch_format="pyarrow", zero_copy_batch=True
+            )
+            joined = left.join(
+                corpus, "left_outer", num_partitions=cfg.num_partitions,
                 on=("url_norm",), right_on=("url",),
             )
+            # after the join `url` is the frontier's RAW form; downstream
+            # keys on the corpus url == url_norm, so rewrite it.
+            joined = joined.map_batches(
+                lambda t: t.set_column(
+                    t.schema.get_field_index("url"), "url", t["url_norm"]
+                ),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            ).materialize()
+            matched = joined.map_batches(
+                lambda t: t.filter(pa.compute.is_valid(t["html"])),
+                batch_format="pyarrow", zero_copy_batch=True,
+            )
+            missed_ds = joined.map_batches(
+                lambda t: t.filter(pa.compute.is_null(t["html"])),
+                batch_format="pyarrow", zero_copy_batch=True,
+            )
+            for b in missed_ds.select_columns(
+                ["url_norm", "priority", "host", "seq"]
+            ).iter_batches(batch_format="pyarrow"):
+                for u, p, ho, s in zip(
+                    b["url_norm"].to_pylist(), b["priority"].to_pylist(),
+                    b["host"].to_pylist(), b["seq"].to_pylist(),
+                ):
+                    miss_rows.append(
+                        {"url": u, "round": rnd, "priority": p, "host": ho,
+                         "seq": s, "status": 404}
+                    )
         else:
+            # Broadcast fetch set: ship {url_norm -> frontier fields} once
+            # via ray.put; the corpus scan filters per batch. value tuple:
+            # (url_norm, url_hash, host, depth, priority, seq, attempt)
+            fetch_map = {}
+            for r in taken_refs:
+                tt = ray.get(r)
+                for n, h, ho, d, p, s, a in zip(
+                    tt["url_norm"].to_pylist(), tt["url_hash"].to_pylist(),
+                    tt["host"].to_pylist(), tt["depth"].to_pylist(),
+                    tt["priority"].to_pylist(), tt["seq"].to_pylist(),
+                    tt["attempt"].to_pylist(),
+                ):
+                    fetch_map[n] = (n, h, ho, d, p, s, a)
             fetch_ref = ray.put(fetch_map)
             matched = corpus.map_batches(
                 _AttachFrontier, fn_constructor_args=(fetch_ref,),
@@ -359,15 +415,16 @@ def run_crawl_ray(
         c["status_200"] = parsed.count()
         c["transient_fail"] = failed.count()
 
-        # -- misses -> 404 (J2) ---------------------------------------
-        matched_urls = set()
-        for b in matched.select_columns(["url"]).iter_batches(batch_format="pyarrow"):
-            matched_urls.update(b["url"].to_pylist())
-        miss_rows = [
-            {"url": u, "round": rnd, "priority": v[4], "host": v[2],
-             "seq": v[5], "status": 404}
-            for u, v in fetch_map.items() if u not in matched_urls
-        ]
+        if fetch_strategy != "join":
+            # -- misses -> 404 (J2, broadcast mode) -------------------
+            matched_urls = set()
+            for b in matched.select_columns(["url"]).iter_batches(batch_format="pyarrow"):
+                matched_urls.update(b["url"].to_pylist())
+            miss_rows = [
+                {"url": u, "round": rnd, "priority": v[4], "host": v[2],
+                 "seq": v[5], "status": 404}
+                for u, v in fetch_map.items() if u not in matched_urls
+            ]
         c["status_404"] = len(miss_rows)
         c["fetched"] = c["status_200"] + c["status_404"]
 
@@ -412,13 +469,18 @@ def run_crawl_ray(
         extracted.write_parquet(edir)
 
         # -- frontier expansion ---------------------------------------
+        # NOTE: per-round intermediates are politeness-bounded (taken <=
+        # hosts x quota; candidates <= taken x fanout), so materialize()
+        # here is bounded state, not a full-corpus pin — it lets the
+        # counter .count() calls and the downstream stage share one
+        # execution instead of re-running the explode + dedup shuffle.
         candidates = parsed.map_batches(
             lambda t: _explode_links(t, cfg, rnd), batch_format="pyarrow"
-        )
+        ).materialize()
         c["discovered"] = candidates.count()
         deduped = candidates.groupby("url_hash").map_groups(
             _dedup_keep_min, batch_format="pandas"
-        )
+        ).materialize()
         c["after_dedup"] = deduped.count()
         c["dup_within_round"] = c["discovered"] - c["after_dedup"]
         allowed = deduped.map_batches(
@@ -463,17 +525,16 @@ def run_crawl_ray(
         nfdir = os.path.join(out_dir, f"frontier/round={rnd + 1}")
         os.makedirs(nfdir, exist_ok=True)
         next_frontier = carry_ds.union(deferred).union(accepted)
-        ncols = FRONTIER_SCHEMA.names
         next_frontier = next_frontier.map_batches(
-            lambda t: pa.table({k: t[k].cast(FRONTIER_SCHEMA.field(k).type) for k in ncols}),
-            batch_format="pyarrow",
+            _enforce_frontier_schema, batch_format="pyarrow", zero_copy_batch=True
         )
         if retry_tbl_rows:
             next_frontier = next_frontier.union(
                 rd.from_arrow(_frontier_table(retry_tbl_rows))
             )
         next_frontier.write_parquet(nfdir)
-        c["carryover"] = carry_ds.count() + deferred.count()
+        # carry + deferred == frontier - taken (no extra pass needed)
+        c["carryover"] = n_frontier - c["taken"]
 
         # -- lineage + success marker (S5) ----------------------------
         cdir = os.path.join(out_dir, f"ckpt/round={rnd}")

@@ -1,0 +1,252 @@
+"""queries() / oracle_sql() registry — the driver correctness surface.
+
+Every implemented operator from SURVEY.md §2 (and the training-data
+extensions) gets an entry; oracle-checkable ones carry ANSI SQL for DuckDB
+over the pre-registered testdata views. COLUMN NAMES in each Ray result
+match the SQL aliases exactly (the driver compare is name-sensitive).
+
+Float discipline: oracle-checked queries return only integers, strings,
+timestamps, or floats that are exact in float64 (sums/avgs of
+integer-valued doubles, or raw column passthrough). Continuous-float
+ranking queries (ANN) return integer ranks with large score gaps and
+pinned tie-breaks.
+"""
+
+from __future__ import annotations
+
+import os
+
+from raycrawl import multimodal, relational, similarity, textproc
+
+
+def _smoke_corpus_dir(sf_dir: str) -> str:
+    """Deterministic cached crawl corpus, sized by the sf level."""
+    from raycrawl.fixtures.gen_corpus import generate
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    out = f"/tmp/raycrawl_fixture_{tag}"
+    if not os.path.exists(os.path.join(out, "pages.parquet")):
+        generate(out, n_hosts=20, n_pages=1000, seed=42)
+    return out
+
+
+def q_extract_text(sf_dir: str):
+    """Flagship M4+M6 over the crawl corpus: byte-identity vs the oracle
+    text column is asserted inside the query itself (hard fail on drift)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from raycrawl.ops.html import extract_text_batch
+
+    corpus = _smoke_corpus_dir(sf_dir)
+    ds = rd.read_parquet(
+        os.path.join(corpus, "pages.parquet"), columns=["url", "html", "text"]
+    )
+
+    def check(t: pa.Table) -> pa.Table:
+        ref = t["text"]
+        t = extract_text_batch(t.drop_columns(["text"]), out="text")
+        if not pc.all(pc.equal(t["text"], ref)).as_py():
+            raise AssertionError("extract_text drifted from oracle column")
+        return t.select(["url", "text"])
+
+    return ds.map_batches(check, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_crawl_visits(sf_dir: str):
+    """2-round crawl over the cached corpus; returns the visits table."""
+    import glob
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from raycrawl.core import CrawlConfig
+    from raycrawl.pipelines.crawl import run_crawl_ray
+
+    corpus = _smoke_corpus_dir(sf_dir)
+    out = f"{corpus}_crawlout"
+    run_crawl_ray(corpus, out, CrawlConfig(max_rounds=2, seen_shards=4), resume=False)
+    tabs = [pq.read_table(f) for f in sorted(glob.glob(f"{out}/visits/round=*/*.parquet"))]
+    return pa.concat_tables(tabs, promote_options="default")
+
+
+def q_quality_score(sf_dir: str):
+    import ray.data as rd
+
+    return (
+        rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+        .map_batches(textproc.quality_score_batch, batch_format="pyarrow", zero_copy_batch=True)
+        .select_columns(["doc_id", "quality"])
+    )
+
+
+def build_queries() -> dict:
+    return {
+        # sources / maps / filters (S1, M8, M9, M13, M14, M1)
+        "read_pages_count": relational.q_read_pages_count,
+        "lang_filter": relational.q_lang_filter,
+        "filter_pred": relational.q_filter_pred,
+        "json_extract": relational.q_json_extract,
+        "field_normalize": relational.q_field_normalize,
+        "url_canonicalize": relational.q_url_canonicalize,
+        # aggregations (A1-A5 + windows)
+        "groupby_agg": relational.q_groupby_agg,
+        "groupby_multi": relational.q_groupby_multi,
+        "global_agg": relational.q_global_agg,
+        "distinct": relational.q_distinct,
+        "partial_final": relational.q_partial_final,
+        "window_agg": relational.q_window_agg,
+        # joins (J1-J5)
+        "join_fetch": relational.q_join_fetch,
+        "anti_join": relational.q_anti_join,
+        "semi_join": relational.q_semi_join,
+        "broadcast_join": relational.q_broadcast_join,
+        "asof_latest": relational.q_asof_latest,
+        # sort / topk / headn (O1-O5)
+        "topk": relational.q_topk,
+        "sort_multi": relational.q_sort_multi,
+        "host_topk": relational.q_host_topk,
+        "group_headn": relational.q_group_headn,
+        # set ops / dedup (D1, D3, D4)
+        "dedup_exact": relational.q_dedup_exact,
+        "union_all": relational.q_union_all,
+        "except_join": relational.q_except_join,
+        # text analysis
+        "token_count": textproc.token_counts,
+        "text_quality": textproc.text_quality,
+        "lang_id": textproc.language_id,  # rows-only (heuristic)
+        "doc_fingerprint": textproc.fingerprints,  # rows-only
+        "quality_score": q_quality_score,  # rows-only (float heuristic)
+        # dedup extensions (rows-only: not SQL-expressible)
+        "dedup_minhash": lambda sf: __import__("raycrawl.dedup", fromlist=["x"]).minhash_dedup(sf),
+        "dedup_simhash": lambda sf: __import__("raycrawl.dedup", fromlist=["x"]).simhash_dedup(sf),
+        "dedup_embedding": similarity.embedding_neardup,  # rows-only
+        # similarity search
+        "ann_topk": similarity.ann_topk,
+        "ann_topk_lsh": similarity.ann_topk_lsh,  # rows-only (approximate)
+        # multimodal plumbing (rows-only; decode stubbed)
+        "media_features": multimodal.media_pipeline,
+        # crawl engine (rows-only; oracle is pyref, asserted in pytest)
+        "extract_text": q_extract_text,
+        "crawl_visits": q_crawl_visits,
+    }
+
+
+def build_oracle_sql() -> dict:
+    return {
+        "read_pages_count": "SELECT count(*) AS n FROM documents",
+        "lang_filter": "SELECT doc_id, lang FROM documents WHERE lang = 'en'",
+        "filter_pred": (
+            "SELECT l_orderkey, l_quantity, l_extendedprice FROM lineitem "
+            "WHERE l_quantity > 30 AND l_discount <= 0.05"
+        ),
+        "json_extract": (
+            "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k "
+            "FROM events"
+        ),
+        "field_normalize": (
+            "SELECT c_custkey, upper(trim(c_name)) AS name_norm, "
+            "substr(c_mktsegment, 1, 3) AS seg_pfx FROM customer"
+        ),
+        "url_canonicalize": (
+            "SELECT doc_id, 'http://h' || lpad(CAST(doc_id % 20 AS VARCHAR), 3, '0') "
+            "|| '.example/p/' || lpad(CAST(doc_id AS VARCHAR), 6, '0') AS url_norm "
+            "FROM documents"
+        ),
+        "groupby_agg": (
+            "SELECT l_returnflag, sum(l_quantity) AS sum_qty, count(*) AS n, "
+            "max(l_quantity) AS max_qty, min(l_quantity) AS min_qty, "
+            "avg(l_quantity) AS avg_qty FROM lineitem GROUP BY l_returnflag"
+        ),
+        "groupby_multi": (
+            "SELECT l_returnflag, l_linestatus, count(*) AS n, "
+            "sum(l_quantity) AS sum_qty FROM lineitem "
+            "GROUP BY l_returnflag, l_linestatus"
+        ),
+        "global_agg": (
+            "SELECT count(*) AS n, sum(l_quantity) AS sum_qty, "
+            "min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship FROM lineitem"
+        ),
+        "distinct": "SELECT DISTINCT event_type FROM events",
+        "partial_final": (
+            "SELECT event_type, count(*) AS n, min(event_id) AS min_event_id "
+            "FROM events GROUP BY event_type"
+        ),
+        "window_agg": (
+            "SELECT event_type, epoch_us(ts) // 3600000000 AS hour_id, "
+            "count(*) AS n FROM events GROUP BY 1, 2"
+        ),
+        "join_fetch": (
+            "SELECT l_orderkey AS orderkey, o_custkey AS custkey, "
+            "l_quantity AS quantity FROM lineitem "
+            "JOIN orders ON l_orderkey = o_orderkey"
+        ),
+        "anti_join": (
+            "SELECT c_custkey FROM customer WHERE c_custkey NOT IN "
+            "(SELECT o_custkey FROM orders WHERE o_totalprice > 300000)"
+        ),
+        "semi_join": (
+            "SELECT DISTINCT c_custkey FROM customer "
+            "JOIN orders ON o_custkey = c_custkey"
+        ),
+        "broadcast_join": (
+            "SELECT c_custkey, n_name FROM customer "
+            "JOIN nation ON c_nationkey = n_nationkey"
+        ),
+        "asof_latest": (
+            "SELECT user_id, event_id AS last_event_id FROM ("
+            "SELECT user_id, event_id, row_number() OVER ("
+            "PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn "
+            "FROM events) t WHERE rn = 1"
+        ),
+        "topk": (
+            "SELECT o_orderkey, o_totalprice FROM orders "
+            "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"
+        ),
+        "sort_multi": (
+            "SELECT o_orderpriority, o_orderdate, o_orderkey FROM orders "
+            "ORDER BY o_orderpriority, o_orderdate, o_orderkey LIMIT 100"
+        ),
+        "host_topk": (
+            "SELECT source, count(*) AS n FROM documents "
+            "GROUP BY source ORDER BY n DESC, source LIMIT 5"
+        ),
+        "group_headn": (
+            "SELECT o_orderkey, o_custkey FROM ("
+            "SELECT o_orderkey, o_custkey, row_number() OVER ("
+            "PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey) AS rn "
+            "FROM orders) t WHERE rn <= 3"
+        ),
+        "dedup_exact": "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
+        "union_all": (
+            "SELECT doc_id FROM documents WHERE lang = 'en' "
+            "UNION ALL SELECT doc_id FROM documents WHERE lang = 'de'"
+        ),
+        "except_join": (
+            "SELECT DISTINCT event_type FROM events "
+            "WHERE event_type NOT IN ('click', 'view')"
+        ),
+        "token_count": (
+            "SELECT doc_id, CASE WHEN trim(text) = '' THEN 0 ELSE "
+            "array_length(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens "
+            "FROM documents"
+        ),
+        "text_quality": (
+            "SELECT doc_id, length(text) AS n_chars2, "
+            "length(regexp_replace(text, '[^A-Z]', '', 'g')) AS n_upper, "
+            "length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit, "
+            "length(text) - length(replace(text, ' ', '')) AS n_space "
+            "FROM documents"
+        ),
+        "ann_topk": (
+            "WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e "
+            "FROM embeddings WHERE vec_id < 10), "
+            "c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings) "
+            "SELECT query_id, rank, neighbor_id FROM ("
+            "SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, "
+            "row_number() OVER (PARTITION BY q.vec_id "
+            "ORDER BY list_cosine_similarity(c.e, q.e) DESC, c.vec_id) AS rank "
+            "FROM q CROSS JOIN c WHERE c.vec_id <> q.vec_id) t WHERE rank <= 5"
+        ),
+    }

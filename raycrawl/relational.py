@@ -1,0 +1,380 @@
+"""Generic relational operators over the driver testdata tables
+(SURVEY.md §2.2/2.4-2.7 — the DuckDB-oracle-checked layer).
+
+Each `q_*` function takes `sf_dir` and returns a Dataset / pyarrow Table
+whose COLUMN NAMES exactly match the oracle SQL aliases in
+`raycrawl.registry` (the driver's compare is name-sensitive).
+
+These are exactly the shuffle primitives the crawl needs — join (J1),
+anti/semi (J2/J4), as-of (J5), grouped aggregates (A1-A5), sort/top-k/
+head-n (O1-O5), dedup (D1), union (D3) — expressed over the TPC-H-ish
+tables so the driver can verify them against DuckDB.
+
+Scale discipline: every read prunes columns; small dimension sides are
+broadcast via ray.put, never shuffled; aggregates ship only their key +
+value columns into the shuffle.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+from raycrawl import core
+
+
+def _pq(sf_dir: str, name: str, columns: list[str] | None = None) -> rd.Dataset:
+    return rd.read_parquet(os.path.join(sf_dir, f"{name}.parquet"), columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# Sources / simple maps / filters
+# ---------------------------------------------------------------------------
+
+
+def q_read_pages_count(sf_dir: str):
+    n = _pq(sf_dir, "documents", ["doc_id"]).count()
+    return pa.table({"n": pa.array([n], pa.int64())})
+
+
+def q_lang_filter(sf_dir: str):
+    return (
+        _pq(sf_dir, "documents", ["doc_id", "lang"])
+        .filter(expr="lang == 'en'")
+    )
+
+
+def q_filter_pred(sf_dir: str):
+    return (
+        _pq(sf_dir, "lineitem", ["l_orderkey", "l_quantity", "l_extendedprice", "l_discount"])
+        .map_batches(
+            lambda t: t.filter(
+                pc.and_(pc.greater(t["l_quantity"], 30), pc.less_equal(t["l_discount"], 0.05))
+            ).select(["l_orderkey", "l_quantity", "l_extendedprice"]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    )
+
+
+def q_json_extract(sf_dir: str):
+    """M14: parse the events.props JSON column (vectorized json.loads)."""
+
+    def extract(t: pa.Table) -> pa.Table:
+        ks = [json.loads(p).get("k") for p in t["props"].to_pylist()]
+        return pa.table(
+            {"event_id": t["event_id"], "k": pa.array(ks, pa.int64())}
+        )
+
+    return _pq(sf_dir, "events", ["event_id", "props"]).map_batches(
+        extract, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def q_field_normalize(sf_dir: str):
+    """M8: vectorized pyarrow.compute string normalization."""
+
+    def norm(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_custkey": t["c_custkey"],
+                "name_norm": pc.utf8_upper(pc.utf8_trim_whitespace(t["c_name"])),
+                "seg_pfx": pc.utf8_slice_codeunits(t["c_mktsegment"], 0, 3),
+            }
+        )
+
+    return _pq(sf_dir, "customer", ["c_custkey", "c_name", "c_mktsegment"]).map_batches(
+        norm, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def q_url_canonicalize(sf_dir: str):
+    """M1 against a SQL-computable oracle: build a structured dirty URL per
+    doc_id, canonicalize with the real engine fn; SQL computes the expected
+    canonical form directly (lowercase, strip :80, strip #frag)."""
+
+    def canon(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        dirty = [f"HTTP://H{i % 20:03d}.EXAMPLE:80/a/../p/{i:06d}#frag" for i in ids]
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "url_norm": pa.array([core.canonicalize_url(u) for u in dirty], pa.string()),
+            }
+        )
+
+    return _pq(sf_dir, "documents", ["doc_id"]).map_batches(
+        canon, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregations (A1-A5)
+# ---------------------------------------------------------------------------
+
+
+def q_groupby_agg(sf_dir: str):
+    return (
+        _pq(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+        .groupby("l_returnflag")
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Count(alias_name="n"),
+            Max("l_quantity", alias_name="max_qty"),
+            Min("l_quantity", alias_name="min_qty"),
+            Mean("l_quantity", alias_name="avg_qty"),
+        )
+    )
+
+
+def q_groupby_multi(sf_dir: str):
+    return (
+        _pq(sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity"])
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(Count(alias_name="n"), Sum("l_quantity", alias_name="sum_qty"))
+    )
+
+
+def q_global_agg(sf_dir: str):
+    ds = _pq(sf_dir, "lineitem", ["l_quantity", "l_shipdate"])
+    out = ds.aggregate(
+        Count(alias_name="n"),
+        Sum("l_quantity", alias_name="sum_qty"),
+        Min("l_shipdate", alias_name="min_ship"),
+        Max("l_shipdate", alias_name="max_ship"),
+    )
+    return pa.table({k: [v] for k, v in out.items()})
+
+
+def q_distinct(sf_dir: str):
+    vals = sorted(_pq(sf_dir, "events", ["event_type"]).unique("event_type"))
+    return pa.table({"event_type": pa.array(vals, pa.string())})
+
+
+def q_partial_final(sf_dir: str):
+    """A5: canonical partial+final split — per-batch combiner inside
+    map_batches (shrinks the shuffle to one row per batch per key), then a
+    small groupby sum. Result == plain groupby count/sum."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        g = df.groupby("event_type", as_index=False).agg(
+            n=("event_id", "count"), k_min=("event_id", "min")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    ds = _pq(sf_dir, "events", ["event_type", "event_id"]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return (
+        ds.groupby("event_type")
+        .aggregate(Sum("n", alias_name="n"), Min("k_min", alias_name="min_event_id"))
+    )
+
+
+def q_window_agg(sf_dir: str):
+    """Hourly per-type counts — epoch-hour bucket keeps the key integral."""
+
+    def bucket(t: pa.Table) -> pa.Table:
+        us = t["ts"].cast(pa.int64())
+        hour = pc.divide(us, 3_600_000_000)
+        return pa.table({"event_type": t["event_type"], "hour_id": hour})
+
+    return (
+        _pq(sf_dir, "events", ["event_type", "ts"])
+        .map_batches(bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["event_type", "hour_id"])
+        .aggregate(Count(alias_name="n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins (J1-J5)
+# ---------------------------------------------------------------------------
+
+
+def q_join_fetch(sf_dir: str):
+    li = _pq(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+    orders = _pq(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    out = li.join(orders, "inner", num_partitions=8, on=("l_orderkey",), right_on=("o_orderkey",))
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "orderkey": t["l_orderkey"],
+                "custkey": t["o_custkey"],
+                "quantity": t["l_quantity"],
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def q_anti_join(sf_dir: str):
+    """J2 left-anti (the 404-miss shape): customers with no high-value
+    order, via left_outer join + null filter. The price threshold keeps the
+    result non-trivial at every sf level."""
+    cust = _pq(sf_dir, "customer", ["c_custkey"])
+    custs_with_orders = (
+        _pq(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+        .filter(expr="o_totalprice > 300000")
+        .groupby("o_custkey")
+        .aggregate(Count(alias_name="cnt"))
+    )
+    out = cust.join(
+        custs_with_orders, "left_outer", num_partitions=8,
+        on=("c_custkey",), right_on=("o_custkey",),
+    )
+    return out.map_batches(
+        lambda t: t.filter(pc.is_null(t["cnt"])).select(["c_custkey"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def q_semi_join(sf_dir: str):
+    """J4 semi: customers having >=1 order."""
+    cust = _pq(sf_dir, "customer", ["c_custkey"])
+    custs_with_orders = (
+        _pq(sf_dir, "orders", ["o_custkey"]).groupby("o_custkey").aggregate(Count(alias_name="cnt"))
+    )
+    out = cust.join(
+        custs_with_orders, "inner", num_partitions=8,
+        on=("c_custkey",), right_on=("o_custkey",),
+    )
+    return out.select_columns(["c_custkey"])
+
+
+def q_broadcast_join(sf_dir: str):
+    """J3: dimension broadcast — nation is ray.put once, looked up per
+    batch inside map_batches; no shuffle of the fact side."""
+    import pyarrow.parquet as pq_mod
+
+    nat = pq_mod.read_table(os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_name"])
+    mapping = dict(zip(nat["n_nationkey"].to_pylist(), nat["n_name"].to_pylist()))
+    ref = ray.put(mapping)
+
+    class Attach:
+        def __init__(self, r):
+            self.m = ray.get(r) if isinstance(r, ray.ObjectRef) else r
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            names = [self.m.get(k) for k in t["c_nationkey"].to_pylist()]
+            return pa.table(
+                {"c_custkey": t["c_custkey"], "n_name": pa.array(names, pa.string())}
+            )
+
+    return _pq(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
+        Attach, fn_constructor_args=(ref,), batch_format="pyarrow",
+        zero_copy_batch=True, concurrency=(1, 4),
+    )
+
+
+def q_asof_latest(sf_dir: str):
+    """J5 as-of: latest event per user (grouped argmax with pinned
+    tie-break (ts desc, event_id desc))."""
+
+    def latest(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], ascending=[False, False], kind="mergesort")
+        return pd.DataFrame(
+            {"user_id": [g["user_id"].iat[0]], "last_event_id": [g["event_id"].iat[0]]}
+        )
+
+    return (
+        _pq(sf_dir, "events", ["user_id", "event_id", "ts"])
+        .groupby("user_id")
+        .map_groups(latest, batch_format="pandas")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sort / top-k / head-n / sample (O1-O5)
+# ---------------------------------------------------------------------------
+
+
+def q_topk(sf_dir: str):
+    return (
+        _pq(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+        .sort(["o_totalprice", "o_orderkey"], descending=[True, False])
+        .limit(10)
+    )
+
+
+def q_sort_multi(sf_dir: str):
+    """O1 multi-key sort (priority-order analog). Hash compare is
+    order-insensitive, so correctness of the *content* is what's checked;
+    the ordering itself is asserted in pytest."""
+    return (
+        _pq(sf_dir, "orders", ["o_orderpriority", "o_orderdate", "o_orderkey"])
+        .sort(["o_orderpriority", "o_orderdate", "o_orderkey"])
+        .limit(100)
+    )
+
+
+def q_host_topk(sf_dir: str):
+    return (
+        _pq(sf_dir, "documents", ["source"])
+        .groupby("source")
+        .aggregate(Count(alias_name="n"))
+        .sort(["n", "source"], descending=[True, False])
+        .limit(5)
+    )
+
+
+def q_group_headn(sf_dir: str):
+    """O5 per-group head-n (the politeness-quota shape): newest 3 orders
+    per customer."""
+
+    def head3(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_orderdate", "o_orderkey"], ascending=[False, True], kind="mergesort")
+        return g.head(3)[["o_orderkey", "o_custkey"]]
+
+    return (
+        _pq(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+        .groupby("o_custkey")
+        .map_groups(head3, batch_format="pandas")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set ops / dedup (D1-D4)
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(sf_dir: str):
+    """D1 exact dedup by content: min doc_id per identical text.
+    Shuffle key is a 64-bit content hash, not the text itself."""
+
+    def hash_text(t: pa.Table) -> pa.Table:
+        hs = [core.url_hash(x) for x in t["text"].to_pylist()]
+        return pa.table({"doc_id": t["doc_id"], "h": pa.array(hs, pa.uint64())})
+
+    return (
+        _pq(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(hash_text, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("h")
+        .aggregate(Min("doc_id", alias_name="doc_id"))
+        .select_columns(["doc_id"])
+    )
+
+
+def q_union_all(sf_dir: str):
+    a = _pq(sf_dir, "documents", ["doc_id", "lang"]).filter(expr="lang == 'en'")
+    b = _pq(sf_dir, "documents", ["doc_id", "lang"]).filter(expr="lang == 'de'")
+    return a.union(b).select_columns(["doc_id"])
+
+
+def q_except_join(sf_dir: str):
+    """D4: event types present in events but not in a static exclusion list
+    — expressed as anti-join against an inline dimension."""
+    excl = {"click", "view"}
+    ds = _pq(sf_dir, "events", ["event_type"])
+    vals = sorted(v for v in ds.unique("event_type") if v not in excl)
+    return pa.table({"event_type": pa.array(vals, pa.string())})

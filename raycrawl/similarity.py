@@ -1,0 +1,244 @@
+"""Similarity search over embedding columns (`list<float>`).
+
+- Brute-force cosine top-k: the baseline — per-batch float64 numpy matmul
+  against a broadcast query matrix (`ray.put` once), partial top-k per
+  batch, tiny final merge on the driver. No shuffle; scales linearly with
+  corpus blocks and is embarrassingly parallel across a cluster.
+- LSH-bucketed (random hyperplane) variant: the scale path — candidates
+  only from matching sign-buckets, then exact re-rank; trades recall for
+  a corpus-sized shuffle-free bucket probe.
+- Embedding-cosine near-dup for dedup pipelines.
+
+Determinism: all scores computed in float64; ties broken by vec_id.
+"""
+
+from __future__ import annotations
+
+import heapq
+import os
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+_HYPERPLANES = np.random.RandomState(1234).randn(16, 64)
+
+
+def _emb_matrix(t: pa.Table, col: str = "embedding") -> np.ndarray:
+    arr = t[col]
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    return flat.reshape(len(arr), -1)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+class _TopKPartial:
+    """map_batches stage: per-batch exact cosine top-k candidates vs the
+    broadcast query matrix."""
+
+    def __init__(self, q_ref, k: int):
+        q = ray.get(q_ref) if isinstance(q_ref, ray.ObjectRef) else q_ref
+        self.qids, qm = q
+        self.qm = _normalize(qm)  # (Q, D) float64
+        self.k = k
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"query_id": pa.array([], pa.int64()),
+                 "neighbor_id": pa.array([], pa.int64()),
+                 "score": pa.array([], pa.float64())}
+            )
+        vids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+        m = _normalize(_emb_matrix(t))
+        scores = m @ self.qm.T  # (B, Q)
+        out_q, out_n, out_s = [], [], []
+        k = self.k
+        for qi, qid in enumerate(self.qids):
+            col = scores[:, qi]
+            mask = vids != qid  # exclude self
+            idx = np.flatnonzero(mask)
+            if idx.size == 0:
+                continue
+            take = idx[np.argsort(-col[idx], kind="stable")[: k]]
+            out_q.extend([qid] * len(take))
+            out_n.extend(vids[take].tolist())
+            out_s.extend(col[take].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "score": pa.array(out_s, pa.float64()),
+            }
+        )
+
+
+def ann_topk(sf_dir: str, k: int = 5, n_queries: int = 10) -> pa.Table:
+    """Exact cosine top-k for the first `n_queries` vec_ids. Output is
+    integer-only (query_id, rank, neighbor_id) so oracle hash comparison
+    is float-free; ties broken by (−score, neighbor_id)."""
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    import pyarrow.parquet as pq
+
+    qt = pq.read_table(path, columns=["vec_id", "embedding"])
+    mask = pa.compute.less(qt["vec_id"], n_queries)
+    qt = qt.filter(mask)
+    qids = qt["vec_id"].to_pylist()
+    qm = _emb_matrix(qt)
+    q_ref = ray.put((qids, qm))
+
+    ds = rd.read_parquet(path, columns=["vec_id", "embedding"])
+    cands = ds.map_batches(
+        _TopKPartial, fn_constructor_args=(q_ref, k),
+        batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8),
+    )
+    # final merge: per query, global top-k from per-batch candidates (tiny)
+    best: dict[int, list] = {}
+    for b in cands.iter_batches(batch_format="pyarrow"):
+        for q, n, s in zip(
+            b["query_id"].to_pylist(), b["neighbor_id"].to_pylist(), b["score"].to_pylist()
+        ):
+            best.setdefault(q, []).append((-s, n))
+    out_q, out_r, out_n = [], [], []
+    for q in sorted(best):
+        for rank, (_, n) in enumerate(heapq.nsmallest(k, best[q]), start=1):
+            out_q.append(q)
+            out_r.append(rank)
+            out_n.append(n)
+    return pa.table(
+        {
+            "query_id": pa.array(out_q, pa.int64()),
+            "rank": pa.array(out_r, pa.int64()),
+            "neighbor_id": pa.array(out_n, pa.int64()),
+        }
+    )
+
+
+def _bucket_of(m: np.ndarray) -> np.ndarray:
+    """Random-hyperplane LSH bucket ids (16-bit sign signature)."""
+    signs = (m @ _HYPERPLANES.T) > 0
+    return (signs * (1 << np.arange(16))).sum(axis=1).astype(np.int64)
+
+
+def ann_topk_lsh(sf_dir: str, k: int = 5, n_queries: int = 10, probes: int = 4) -> pa.Table:
+    """Approximate variant: only corpus vectors whose LSH bucket is within
+    the query's `probes` nearest buckets (by signature hamming) are scored.
+    Same output schema as ann_topk; recall measured in tests."""
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    qt = pq.read_table(path, columns=["vec_id", "embedding"])
+    qt = qt.filter(pa.compute.less(qt["vec_id"], n_queries))
+    qids = qt["vec_id"].to_pylist()
+    qm = _normalize(_emb_matrix(qt))
+    qb = _bucket_of(qm)
+    q_ref = ray.put((qids, qm, qb))
+
+    class Stage:
+        def __init__(self, ref, k, probes):
+            self.qids, self.qm, self.qb = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+            self.k, self.probes = k, probes
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return pa.table(
+                    {"query_id": pa.array([], pa.int64()),
+                     "neighbor_id": pa.array([], pa.int64()),
+                     "score": pa.array([], pa.float64())}
+                )
+            vids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+            m = _normalize(_emb_matrix(t))
+            vb = _bucket_of(m)
+            out_q, out_n, out_s = [], [], []
+            for qi, qid in enumerate(self.qids):
+                ham = np.array([bin(int(v ^ self.qb[qi])).count("1") for v in vb])
+                mask = (ham <= self.probes) & (vids != qid)
+                idx = np.flatnonzero(mask)
+                if idx.size == 0:
+                    continue
+                col = m[idx] @ self.qm[qi]
+                take = np.argsort(-col, kind="stable")[: self.k]
+                out_q.extend([qid] * len(take))
+                out_n.extend(vids[idx][take].tolist())
+                out_s.extend(col[take].tolist())
+            return pa.table(
+                {
+                    "query_id": pa.array(out_q, pa.int64()),
+                    "neighbor_id": pa.array(out_n, pa.int64()),
+                    "score": pa.array(out_s, pa.float64()),
+                }
+            )
+
+    ds = rd.read_parquet(path, columns=["vec_id", "embedding"])
+    cands = ds.map_batches(
+        Stage, fn_constructor_args=(q_ref, k, probes),
+        batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8),
+    )
+    best: dict[int, list] = {}
+    for b in cands.iter_batches(batch_format="pyarrow"):
+        for q, n, s in zip(
+            b["query_id"].to_pylist(), b["neighbor_id"].to_pylist(), b["score"].to_pylist()
+        ):
+            best.setdefault(q, []).append((-s, n))
+    out_q, out_r, out_n = [], [], []
+    for q in sorted(best):
+        for rank, (_, n) in enumerate(heapq.nsmallest(k, best[q]), start=1):
+            out_q.append(q)
+            out_r.append(rank)
+            out_n.append(n)
+    return pa.table(
+        {
+            "query_id": pa.array(out_q, pa.int64()),
+            "rank": pa.array(out_r, pa.int64()),
+            "neighbor_id": pa.array(out_n, pa.int64()),
+        }
+    )
+
+
+def embedding_neardup(sf_dir: str, threshold: float = 0.97) -> pa.Table:
+    """Embedding-cosine near-dup keep-list: pairs above threshold found by
+    per-batch matmul against the broadcast corpus matrix (OK to broadcast:
+    D=64 floats/vec; the 10^10-scale path is LSH bucketing as above)."""
+    import pyarrow.parquet as pq
+
+    from raycrawl.dedup import _components_keep
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    full = pq.read_table(path, columns=["vec_id", "embedding"])
+    ids = np.asarray(full["vec_id"].to_pylist(), dtype=np.int64)
+    m = _normalize(_emb_matrix(full))
+    ref = ray.put((ids, m))
+
+    class Pairs:
+        def __init__(self, r, th):
+            self.ids, self.m = ray.get(r) if isinstance(r, ray.ObjectRef) else r
+            self.th = th
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            vids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+            bm = _normalize(_emb_matrix(t))
+            s = bm @ self.m.T
+            a_out, b_out = [], []
+            for i, vid in enumerate(vids):
+                js = np.flatnonzero((s[i] >= self.th) & (self.ids > vid))
+                a_out.extend([int(vid)] * len(js))
+                b_out.extend(self.ids[js].tolist())
+            return pa.table(
+                {"a": pa.array(a_out, pa.int64()), "b": pa.array(b_out, pa.int64())}
+            )
+
+    ds = rd.read_parquet(path, columns=["vec_id", "embedding"])
+    pairs_ds = ds.map_batches(
+        Pairs, fn_constructor_args=(ref, threshold),
+        batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8),
+    )
+    pairs = [(r["a"], r["b"]) for r in pairs_ds.take_all()]
+    keep = _components_keep(ids.tolist(), pairs)
+    return pa.table({"vec_id": pa.array(keep, pa.int64())})

@@ -60,17 +60,26 @@ def add_salt(t: pa.Table, hot_hosts: set[str], n_salts: int) -> pa.Table:
 
 
 def politeness_take(ds, delays: dict[str, int], cfg: CrawlConfig,
-                    hot_threshold: int = 50_000, n_salts: int = 8):
-    """Returns the frontier Dataset with a boolean `take` column.
+                    hot_threshold: int = 50_000, n_salts: int = 8,
+                    total_rows: int | None = None):
+    """Returns (taken, carry) Datasets (materialized — both are consumed
+    more than once by the round driver, and re-consuming a lazy groupby
+    lineage would re-run the whole shuffle).
 
     Hot-host detection is data-driven per round: a (host -> count)
     aggregate (cheap: two columns leave the shuffle) picks hosts above
-    `hot_threshold`; only those get salted sub-groups.
+    `hot_threshold`; only those get salted sub-groups. When the caller
+    already knows the total row count is below the threshold (every round
+    driver does — it counted the frontier), the detection pass is skipped
+    entirely: no host can be hot.
     """
     from ray.data.aggregate import Count
 
-    counts = ds.groupby("host").aggregate(Count(alias_name="n")).to_pandas()
-    hot = set(counts.loc[counts["n"] > hot_threshold, "host"]) if len(counts) else set()
+    if total_rows is not None and total_rows <= hot_threshold:
+        hot = set()
+    else:
+        counts = ds.groupby("host").aggregate(Count(alias_name="n")).to_pandas()
+        hot = set(counts.loc[counts["n"] > hot_threshold, "host"]) if len(counts) else set()
 
     if hot:
         salted = ds.map_batches(
@@ -88,11 +97,11 @@ def politeness_take(ds, delays: dict[str, int], cfg: CrawlConfig,
         )
         extra_carry = final.filter(expr="take == False").drop_columns(["take"])
         taken = final.filter(expr="take == True").drop_columns(["take"])
-        return taken, carry.union(extra_carry)
+        return taken.materialize(), carry.union(extra_carry).materialize()
 
     marked = ds.groupby("host").map_groups(
         lambda g: _take_group(g, delays, cfg), batch_format="pandas"
-    )
+    ).materialize()  # one shuffle; taken/carry below are cheap filters on it
     taken = marked.filter(expr="take == True").drop_columns(["take"])
     carry = marked.filter(expr="take == False").drop_columns(["take"])
-    return taken, carry
+    return taken.materialize(), carry.materialize()

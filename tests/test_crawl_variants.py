@@ -1,0 +1,50 @@
+"""Alternate-path equivalence: hot-host salted politeness and the
+Dataset.join fetch strategy must produce byte-identical crawls to the
+default paths (and to the pyref oracle)."""
+
+import pyarrow.parquet as pq
+import pytest
+
+from raycrawl import pyref
+from raycrawl.core import CrawlConfig
+from tests.test_crawl_ray import CMP_KEYS, _load_corpus, _ray_seen, _ray_visits
+
+
+def _run_and_compare(smoke_corpus, tmp_path, cfg, tag):
+    from raycrawl.pipelines.crawl import run_crawl_ray
+
+    pages, robots, seeds = _load_corpus(smoke_corpus)
+    oracle = pyref.run_crawl(pages, robots, seeds, cfg)
+    out = str(tmp_path / tag)
+    summary = run_crawl_ray(smoke_corpus, out, cfg, resume=False)
+    got = _ray_visits(out)
+    want = sorted(
+        oracle.visit_order,
+        key=lambda r: (r["round"], r["priority"], r["host"], r["seq"]),
+    )
+    assert [(r["url"], r["round"], r["seq"], r["status"]) for r in got] == [
+        (r["url"], r["round"], r["seq"], r["status"]) for r in want
+    ]
+    assert _ray_seen(out) == oracle.seen
+    for rc, oc in zip(summary["counters"], oracle.counters):
+        for k in CMP_KEYS:
+            assert rc.get(k, 0) == oc.get(k, 0), (k, rc, oc)
+
+
+def test_salted_politeness_equivalence(ray_session, smoke_corpus, tmp_path):
+    """Force every host through the salted two-phase path
+    (hot_threshold=1): quota selection must be unchanged."""
+    cfg = CrawlConfig(
+        max_rounds=3, seen_shards=4,
+        extra={"hot_threshold": 1, "n_salts": 4},
+    )
+    _run_and_compare(smoke_corpus, tmp_path, cfg, "salted")
+
+
+def test_join_fetch_strategy_equivalence(ray_session, smoke_corpus, tmp_path):
+    """The hash-partitioned Dataset.join fetch path (for fetch sets too big
+    to broadcast) must equal the broadcast path."""
+    cfg = CrawlConfig(
+        max_rounds=2, seen_shards=4, extra={"fetch_strategy": "join"}
+    )
+    _run_and_compare(smoke_corpus, tmp_path, cfg, "joinfetch")

@@ -1,0 +1,156 @@
+"""Unit tests for text analysis, dedup, similarity, and multimodal ops."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from raycrawl import dedup, similarity, textproc
+from tests.conftest import SF_DIR
+
+
+class TestTextproc:
+    def test_token_count(self):
+        t = pa.table({"doc_id": [1, 2, 3], "text": ["a b  c", "", "one two, three!"]})
+        out = textproc.token_count_batch(t)
+        assert out["n_tokens"].to_pylist() == [3, 0, 3]
+        assert out["n_tokens_bpe"].to_pylist() == [3, 0, 5]  # , and ! are tokens
+
+    def test_quality_counts(self):
+        t = pa.table({"doc_id": [1], "text": ["Ab C1 2!"]})
+        out = textproc.quality_batch(t)
+        assert out["n_chars2"].to_pylist() == [8]
+        assert out["n_upper"].to_pylist() == [2]
+        assert out["n_digit"].to_pylist() == [2]
+        assert out["n_space"].to_pylist() == [2]
+
+    def test_lang_id(self):
+        assert textproc.lang_id("the cat and the dog sat in a house that is big") == "en"
+        assert textproc.lang_id("der hund und die katze ist nicht ein tier mit") == "de"
+        assert textproc.lang_id("le chat et la maison est pour les gens dans une") == "fr"
+        assert textproc.lang_id("这是一个中文测试文本，用来测试语言识别。") == "zh"
+        assert textproc.lang_id("") == "und"
+        assert textproc.lang_id("xyzzy qwerty") == "und"
+
+    def test_fingerprint_stable_and_sensitive(self):
+        a = "the quick brown fox jumps over the lazy dog " * 5
+        b = "entirely different material about ray data pipelines " * 5
+        assert textproc.fingerprint(a) == textproc.fingerprint(a)
+        assert textproc.fingerprint(a) != textproc.fingerprint(b)
+        # min-sampled fingerprint is ROBUST to a small append (by design —
+        # that is what makes it a near-dup signal)
+        assert textproc.fingerprint(a) == textproc.fingerprint(a + " tail")
+        assert textproc.fingerprint("") == 0
+
+
+class TestMinHash:
+    def test_signature_similarity_tracks_jaccard(self):
+        base = "the quick brown fox jumps over the lazy dog and runs far away today " * 3
+        near = base + "extra words at the end"
+        far = "completely different content about spark and ray data pipelines " * 3
+        s1 = dedup.minhash_signature(base)
+        s2 = dedup.minhash_signature(near)
+        s3 = dedup.minhash_signature(far)
+        sim_near = (s1 == s2).mean()
+        sim_far = (s1 == s3).mean()
+        assert sim_near > 0.6
+        assert sim_far < 0.2
+
+    def test_components_keep(self):
+        keep = dedup._components_keep([1, 2, 3, 4, 5], [(1, 2), (2, 3)])
+        assert keep == [1, 4, 5]
+
+    def test_minhash_dedup_finds_planted_dups(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        base = "the quick brown fox jumps over the lazy dog and runs far away " * 4
+        rows = {
+            "doc_id": [0, 1, 2, 3],
+            "text": [base, base + " tiny tail", "unrelated words entirely " * 10, base],
+        }
+        d = tmp_path / "docs"
+        d.mkdir()
+        pq.write_table(pa.table(rows), str(d / "documents.parquet"))
+        out = dedup.minhash_dedup(str(d), threshold=0.5)
+        assert out["doc_id"].to_pylist() == [0, 2]
+
+    def test_ngram_jaccard(self):
+        assert dedup.ngram_jaccard("a b c d e", "a b c d e") == 1.0
+        assert dedup.ngram_jaccard("a b c d e", "x y z w v") == 0.0
+        assert dedup.ngram_jaccard("", "") == 1.0
+
+
+class TestSimHash:
+    def test_simhash_near_for_near_docs(self):
+        base = "the quick brown fox jumps over the lazy dog and runs far away " * 4
+        h1 = dedup.simhash(base)
+        h2 = dedup.simhash(base + " tail")
+        h3 = dedup.simhash("entirely different material about databases " * 6)
+        ham12 = bin(h1 ^ h2).count("1")
+        ham13 = bin(h1 ^ h3).count("1")
+        assert ham12 < 10
+        assert ham13 > 15
+        assert dedup.simhash("") == 0
+
+    def test_simhash_dedup_exact_dups(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        base = "the quick brown fox jumps over the lazy dog and runs far " * 4
+        rows = {"doc_id": [0, 1, 2], "text": [base, base, "other stuff " * 20]}
+        d = tmp_path / "docs"
+        d.mkdir()
+        pq.write_table(pa.table(rows), str(d / "documents.parquet"))
+        out = dedup.simhash_dedup(str(d))
+        assert out["doc_id"].to_pylist() == [0, 2]
+
+
+class TestSimilarity:
+    def test_ann_topk_matches_numpy_bruteforce(self, ray_session):
+        import pyarrow.parquet as pq
+
+        out = similarity.ann_topk(SF_DIR, k=3, n_queries=4).to_pandas()
+        full = pq.read_table(f"{SF_DIR}/embeddings.parquet")
+        ids = np.array(full["vec_id"].to_pylist())
+        m = similarity._normalize(similarity._emb_matrix(full))
+        for q in range(4):
+            qv = m[ids == q][0]
+            scores = m @ qv
+            order = sorted(zip(-scores, ids), key=lambda x: (x[0], x[1]))
+            want = [int(i) for s, i in order if i != q][:3]
+            got = out[out.query_id == q].sort_values("rank")["neighbor_id"].tolist()
+            assert got == want
+
+    def test_lsh_recall_reasonable(self, ray_session):
+        exact = similarity.ann_topk(SF_DIR, k=5, n_queries=5).to_pandas()
+        approx = similarity.ann_topk_lsh(SF_DIR, k=5, n_queries=5, probes=6).to_pandas()
+        hits = 0
+        for q in range(5):
+            e = set(exact[exact.query_id == q]["neighbor_id"])
+            a = set(approx[approx.query_id == q]["neighbor_id"])
+            hits += len(e & a)
+        assert hits / 25 >= 0.4  # LSH trades recall for pruning
+
+    def test_embedding_neardup_keeps_all_when_no_dups(self, ray_session):
+        out = similarity.embedding_neardup(SF_DIR, threshold=0.999)
+        import pyarrow.parquet as pq
+
+        n = pq.read_table(f"{SF_DIR}/embeddings.parquet").num_rows
+        assert len(out) == n  # random vectors: no near-identical pairs
+
+
+class TestMultimodal:
+    def test_media_features_plumbing(self, ray_session):
+        from raycrawl import multimodal
+
+        out = multimodal.media_pipeline(SF_DIR).to_pandas()
+        assert len(out) == 500
+        assert {"media_id", "media_type", "n_bytes", "width", "height", "channels"} <= set(
+            out.columns
+        )
+        assert (out["n_bytes"] > 0).all()
+        assert set(out["media_type"]) == {"image", "audio", "video"}
+
+    def test_decode_stub_unknown_type(self):
+        from raycrawl.multimodal import _decode_stub
+
+        with pytest.raises(NotImplementedError):
+            _decode_stub(b"x", "hologram")
