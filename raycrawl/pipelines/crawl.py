@@ -47,7 +47,7 @@ from raycrawl import core
 from raycrawl.core import CrawlConfig
 from raycrawl.ops.url import canon_hash_host_batch
 from raycrawl.stages import politeness
-from raycrawl.stages.robots import RobotsFilter, crawl_delays, load_robots_rules
+from raycrawl.stages.robots import crawl_delays, load_robots_rules, make_robots_filter
 from raycrawl.stages.seen import SeenSet, make_seen_filter
 
 FRONTIER_SCHEMA = pa.schema(
@@ -76,6 +76,19 @@ VISIT_SCHEMA = pa.schema(
         ("status", pa.int32()),
     ]
 )
+
+
+def _block_row_counts(mat_ds) -> list[int]:
+    """Per-block row counts of a MATERIALIZED dataset (metadata only — no
+    data moves); feeds the per-partition lineage rows."""
+    try:
+        return [
+            m.num_rows or 0
+            for bundle in mat_ds.iter_internal_ref_bundles()
+            for m in bundle.metadata
+        ]
+    except Exception:
+        return [t.num_rows for t in ray.get(mat_ds.to_arrow_refs())]
 
 
 def _enforce_frontier_schema(t: pa.Table) -> pa.Table:
@@ -165,17 +178,28 @@ def _latest_snapshot(g: pd.DataFrame) -> pd.DataFrame:
     return g.loc[[g["warc_ts"].idxmax()]]
 
 
-def _parse_batch(t: pa.Table) -> pa.Table:
-    """Fused M4+M5+M6: one HTML parse -> text + links (list column)."""
+def _parse_batch(t: pa.Table, page_callback=None) -> pa.Table:
+    """Fused M4+M5+M6: one HTML parse -> text + links (list column).
+    `page_callback` is the X3 user hook: fn(url, text, links) -> dict|None,
+    surfaced as a `user_json` column (the per-page callback of the
+    reference's user API, minus `done()` — backpressure is the executor's
+    job)."""
+    import json as _json
+
     htmls = t["html"].to_pylist()
     bases = t["url_norm"].to_pylist()
-    texts, links = [], []
+    texts, links, userjs = [], [], []
     ep = core.extract_page
     for html, base in zip(htmls, bases):
         text, ls = ep(html or b"", base or "")
         texts.append(text)
         links.append(ls)
+        if page_callback is not None:
+            out = page_callback(base, text, ls)
+            userjs.append(_json.dumps(out, sort_keys=True) if out is not None else None)
     t = t.drop_columns(["html"])  # html leaves the pipeline here
+    if page_callback is not None:
+        t = t.append_column("user_json", pa.array(userjs, pa.string()))
     t = t.append_column("text", pa.array(texts, pa.string()))
     t = t.append_column("links", pa.array(links, pa.list_(pa.string())))
     n = pa.array([len(x) for x in links], pa.int32())
@@ -327,11 +351,25 @@ def run_crawl_ray(
         # Ray skips map UDFs on empty blocks, so they can't be fixed later.
         _all_refs = taken_ds.to_arrow_refs()
         _all_tabs = ray.get(_all_refs) if _all_refs else []
+        pre_request = cfg.extra.get("pre_request")
+        if pre_request is not None:
+            # X2 hook: user fn may mutate/veto request rows (options-object
+            # analog). Applied to the bounded taken blocks, re-put to plasma.
+            _all_tabs = [
+                _enforce_frontier_schema(pre_request(t)) if t.num_rows else t
+                for t in _all_tabs
+            ]
+            _all_refs = [ray.put(t) for t in _all_tabs]
         taken_refs = [
             r for r, t in zip(_all_refs, _all_tabs)
             if t.num_rows > 0 and t.num_columns > 0
         ]
         c["taken"] = int(sum(t.num_rows for t in _all_tabs))
+        part_lineage: list[dict] = [
+            {"round": rnd, "stage": "politeness_taken", "partition": i,
+             "rows": t.num_rows}
+            for i, t in enumerate(_all_tabs) if t.num_rows
+        ]
 
         corpus = rd.read_parquet(pages_path, columns=["url", "warc_ts", "html"])
         miss_rows: list[dict] = []
@@ -392,28 +430,46 @@ def run_crawl_ray(
                 ):
                     fetch_map[n] = (n, h, ho, d, p, s, a)
             fetch_ref = ray.put(fetch_map)
-            matched = corpus.map_batches(
-                _AttachFrontier, fn_constructor_args=(fetch_ref,),
-                batch_format="pyarrow", zero_copy_batch=True,
-                concurrency=cfg.extra.get("fetch_concurrency", (1, 8)),
-            )
+            if len(fetch_map) > cfg.extra.get("fetch_actor_threshold", 500_000):
+                # big fetch set: actor pool amortizes the dict deserialize
+                matched = corpus.map_batches(
+                    _AttachFrontier, fn_constructor_args=(fetch_ref,),
+                    batch_format="pyarrow", zero_copy_batch=True,
+                    concurrency=cfg.extra.get("fetch_concurrency", (1, 8)),
+                )
+            else:
+                # small fetch set: plain tasks skip per-round actor spin-up
+                matched = corpus.map_batches(
+                    lambda t: _AttachFrontier(fetch_ref)(t),
+                    batch_format="pyarrow", zero_copy_batch=True,
+                )
         # snapshot pick on the (politeness-bounded) matched subset
         matched = matched.groupby("url").map_groups(_latest_snapshot, batch_format="pandas")
         fp = cfg.fail_permille
-        matched = matched.map_batches(
-            lambda t: _fail_flag_batch(t, fp), batch_format="pyarrow"
-        ).materialize()
+        if fp > 0:
+            matched = matched.map_batches(
+                lambda t: _fail_flag_batch(t, fp), batch_format="pyarrow"
+            ).materialize()
+            ok = matched.filter(expr="fail == False").drop_columns(["fail"])
+            failed = matched.filter(expr="fail == True").drop_columns(["fail"])
+        else:
+            # fault model disabled: skip the flag pass + retry machinery
+            matched = matched.materialize()
+            ok, failed = matched, None
 
-        ok = matched.filter(expr="fail == False").drop_columns(["fail"])
-        failed = matched.filter(expr="fail == True").drop_columns(["fail"])
-
+        page_callback = cfg.extra.get("page_callback")
         parsed = ok.map_batches(
-            _parse_batch, batch_format="pyarrow", zero_copy_batch=True,
+            lambda t: _parse_batch(t, page_callback),
+            batch_format="pyarrow", zero_copy_batch=True,
             concurrency=cfg.extra.get("parse_concurrency", None),
         ).materialize()
 
         c["status_200"] = parsed.count()
-        c["transient_fail"] = failed.count()
+        c["transient_fail"] = failed.count() if failed is not None else 0
+        part_lineage += [
+            {"round": rnd, "stage": "parse", "partition": i, "rows": n}
+            for i, n in enumerate(_block_row_counts(parsed))
+        ]
 
         if fetch_strategy != "join":
             # -- misses -> 404 (J2, broadcast mode) -------------------
@@ -431,6 +487,7 @@ def run_crawl_ray(
         # -- visits sink ----------------------------------------------
         vdir = os.path.join(out_dir, f"visits/round={rnd}")
         os.makedirs(vdir, exist_ok=True)
+        uas = cfg.user_agents
         visit_ok = parsed.map_batches(
             lambda t: pa.table(
                 {
@@ -440,6 +497,10 @@ def run_crawl_ray(
                     "host": t["host"].cast(pa.string()),
                     "seq": t["seq"].cast(pa.int64()),
                     "status": pa.array([200] * t.num_rows, pa.int32()),
+                    # M12 deterministic UA rotation: ua_list[seq % len]
+                    "user_agent": pa.array(
+                        [uas[s % len(uas)] for s in t["seq"].to_pylist()], pa.string()
+                    ),
                 }
             ),
             batch_format="pyarrow",
@@ -449,6 +510,10 @@ def run_crawl_ray(
             mt = pa.table(
                 {k: pa.array([r[k] for r in miss_rows], VISIT_SCHEMA.field(k).type)
                  for k in VISIT_SCHEMA.names}
+            )
+            mt = mt.append_column(
+                "user_agent",
+                pa.array([uas[r["seq"] % len(uas)] for r in miss_rows], pa.string()),
             )
             pq.write_table(mt, os.path.join(vdir, "misses.parquet"))
 
@@ -483,10 +548,11 @@ def run_crawl_ray(
         ).materialize()
         c["after_dedup"] = deduped.count()
         c["dup_within_round"] = c["discovered"] - c["after_dedup"]
+        # plain tasks, not an actor pool: rules ship once via plasma and
+        # per-round actor spin-up would cost more than every batch combined
         allowed = deduped.map_batches(
-            RobotsFilter, fn_constructor_args=(rules_ref,),
+            make_robots_filter(rules_ref),
             batch_format="pyarrow", zero_copy_batch=True,
-            concurrency=cfg.extra.get("robots_concurrency", (1, 4)),
         ).materialize()
         c["skipped_robots"] = c["after_dedup"] - allowed.count()
         accepted = allowed.map_batches(
@@ -494,6 +560,13 @@ def run_crawl_ray(
         ).materialize()
         c["accepted_new"] = accepted.count()
         c["skipped_seen"] = (c["after_dedup"] - c["skipped_robots"]) - c["accepted_new"]
+        part_lineage += [
+            {"round": rnd, "stage": "dedup", "partition": i, "rows": n}
+            for i, n in enumerate(_block_row_counts(deduped))
+        ] + [
+            {"round": rnd, "stage": "accepted", "partition": i, "rows": n}
+            for i, n in enumerate(_block_row_counts(accepted))
+        ]
 
         # -- retries (I3) ---------------------------------------------
         retry_tbl_rows = []
@@ -536,13 +609,27 @@ def run_crawl_ray(
         # carry + deferred == frontier - taken (no extra pass needed)
         c["carryover"] = n_frontier - c["taken"]
 
-        # -- lineage + success marker (S5) ----------------------------
+        # -- lineage + success marker (S5): round-level counters plus
+        # per-partition rows-out for the major stages (B:L6 "every
+        # partition emits lineage ... to a checkpoint store") ----------
         cdir = os.path.join(out_dir, f"ckpt/round={rnd}")
         os.makedirs(cdir, exist_ok=True)
         pq.write_table(
             pa.table({k: [v] for k, v in c.items()}),
             os.path.join(cdir, "lineage.parquet"),
         )
+        if part_lineage:
+            pq.write_table(
+                pa.table(
+                    {
+                        "round": pa.array([r["round"] for r in part_lineage], pa.int32()),
+                        "stage": pa.array([r["stage"] for r in part_lineage], pa.string()),
+                        "partition": pa.array([r["partition"] for r in part_lineage], pa.int32()),
+                        "rows": pa.array([r["rows"] for r in part_lineage], pa.int64()),
+                    }
+                ),
+                os.path.join(cdir, "partition_lineage.parquet"),
+            )
         with open(os.path.join(cdir, "_SUCCESS"), "w") as f:
             f.write("ok\n")
 

@@ -154,7 +154,8 @@ def run_crawl(
                 counters["status_404"] += 1
                 res.visit_order.append(
                     {"url": r.url_norm, "round": rnd, "priority": r.priority,
-                     "host": r.host, "seq": r.seq, "status": status}
+                     "host": r.host, "seq": r.seq, "status": status,
+                     "user_agent": cfg.user_agents[r.seq % len(cfg.user_agents)]}
                 )
                 counters["fetched"] += 1
                 continue
@@ -174,7 +175,8 @@ def run_crawl(
             counters["status_200"] += 1
             res.visit_order.append(
                 {"url": r.url_norm, "round": rnd, "priority": r.priority,
-                 "host": r.host, "seq": r.seq, "status": status}
+                 "host": r.host, "seq": r.seq, "status": status,
+                 "user_agent": cfg.user_agents[r.seq % len(cfg.user_agents)]}
             )
             text = core.extract_text(page["html"])
             links = core.extract_links(page["html"], r.url_norm)

@@ -125,6 +125,10 @@ def build_queries() -> dict:
         # similarity search
         "ann_topk": similarity.ann_topk,
         "ann_topk_lsh": similarity.ann_topk_lsh,  # rows-only (approximate)
+        # sketches (rows-only: approximate by construction)
+        "approx_distinct": lambda sf: __import__(
+            "raycrawl.sketches", fromlist=["x"]
+        ).q_approx_distinct(sf),
         # multimodal plumbing (rows-only; decode stubbed)
         "media_features": multimodal.media_pipeline,
         # crawl engine (rows-only; oracle is pyref, asserted in pytest)

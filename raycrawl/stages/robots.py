@@ -48,3 +48,23 @@ class RobotsFilter:
 
 def crawl_delays(rules: dict[str, core.RobotsRules]) -> dict[str, int]:
     return {h: r.crawl_delay_ms for h, r in rules.items() if r.crawl_delay_ms}
+
+
+def make_robots_filter(rules_ref):
+    """Plain-function variant of RobotsFilter for small/medium rule sets:
+    no actor-pool spin-up per round; each task does one plasma get of the
+    shared rules dict (zero network re-ship — same object id)."""
+
+    def robots_filter(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        rules = ray.get(rules_ref) if isinstance(rules_ref, ray.ObjectRef) else rules_ref
+        hosts = t["host"].to_pylist()
+        urls = t["url_norm"].to_pylist()
+        keep = []
+        for h, u in zip(hosts, urls):
+            r = rules.get(h)
+            keep.append(r is None or r.allows_url(u))
+        return t.filter(pa.array(keep))
+
+    return robots_filter

@@ -71,8 +71,8 @@ def test_visit_order_matches_oracle(crawl_pair):
         oracle.visit_order,
         key=lambda r: (r["round"], r["priority"], r["host"], r["seq"]),
     )
-    assert [(r["url"], r["round"], r["seq"], r["status"]) for r in got] == [
-        (r["url"], r["round"], r["seq"], r["status"]) for r in want
+    assert [(r["url"], r["round"], r["seq"], r["status"], r["user_agent"]) for r in got] == [
+        (r["url"], r["round"], r["seq"], r["status"], r["user_agent"]) for r in want
     ]
 
 
