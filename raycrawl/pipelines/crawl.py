@@ -35,6 +35,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import time
 
 import numpy as np
 import pandas as pd
@@ -243,6 +244,55 @@ def _dedup_keep_min(g: pd.DataFrame) -> pd.DataFrame:
     return g.sort_values(["priority", "seq"], kind="mergesort").head(1)
 
 
+def _dedup_keep_min_n(g: pd.DataFrame) -> pd.DataFrame:
+    """D1 + group size: the surviving row carries `group_n` so the
+    `discovered` counter falls out of the deduped set without a separate
+    pass over the candidates."""
+    out = g.sort_values(["priority", "seq"], kind="mergesort").head(1).copy()
+    out["group_n"] = len(g)
+    return out
+
+
+def make_robots_seen_flagger(rules_ref, seen):
+    """Fused M11 + ST1 stage: appends `robots_ok` and `is_new` flags in one
+    pass. The seen-set ADD happens only for robots-allowed rows (pyref
+    order). Flag columns (not filtering) let every counter derive from the
+    single materialized output — one executor launch instead of three."""
+
+    def flag(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return t  # empty map_groups artifacts; dropped downstream
+        rules = ray.get(rules_ref) if isinstance(rules_ref, ray.ObjectRef) else rules_ref
+        hosts = t["host"].to_pylist()
+        urls = t["url_norm"].to_pylist()
+        robots_ok = np.fromiter(
+            (
+                (lambda r: r is None or r.allows_url(u))(rules.get(h))
+                for h, u in zip(hosts, urls)
+            ),
+            bool, len(hosts),
+        )
+        is_new = np.zeros(len(robots_ok), dtype=bool)
+        idx = np.flatnonzero(robots_ok)
+        if idx.size:
+            hashes = t["url_hash"].to_numpy(zero_copy_only=False).astype(np.uint64)[idx]
+            is_new[idx] = seen.filter_batch(hashes)
+        return t.append_column("robots_ok", pa.array(robots_ok)).append_column(
+            "is_new", pa.array(is_new)
+        )
+
+    return flag
+
+
+def _take_accepted(t: pa.Table) -> pa.Table:
+    if t.num_rows == 0 or "is_new" not in t.column_names:
+        return FRONTIER_SCHEMA.empty_table()
+    mask = pa.compute.and_(t["robots_ok"], t["is_new"])
+    return _enforce_frontier_schema(
+        t.filter(mask).drop_columns(["robots_ok", "is_new", "group_n"])
+    )
+
+
 def _fail_flag_batch(t: pa.Table, fail_permille: int) -> pa.Table:
     tf = core.transient_failure
     flags = [
@@ -319,6 +369,53 @@ def run_crawl_ray(
             if t.num_rows:
                 seen.replay(t["url_hash"].to_numpy(zero_copy_only=False))
 
+    # Cache the (url, warc_ts, html) corpus columns in the object store ONCE
+    # when they fit — every round scans the corpus, and re-reading +
+    # re-decompressing parquet per round costs seconds. Above the threshold
+    # (or at the 100 TB design point) the per-round streaming read — or the
+    # "join" fetch strategy — is the right mode, so this stays off there.
+    corpus_cached = None
+    corpus_is_latest = False
+    cache_max = cfg.extra.get("cache_corpus_max_bytes", 2 << 30)
+    if fetch_strategy != "join" and cache_max:
+        try:
+            nbytes = sum(
+                os.path.getsize(os.path.join(pages_path, f))
+                for f in os.listdir(pages_path)
+            ) if os.path.isdir(pages_path) else os.path.getsize(pages_path)
+        except OSError:
+            nbytes = None
+        if nbytes is not None and nbytes < cache_max:
+            # Hoist the J5 snapshot-pick to cache-build time: the latest
+            # (url, warc_ts) pairs come from a tiny html-free projection on
+            # the driver, then one broadcast-filter map — so no per-round
+            # groupby is needed on the matched set. (Snapshot timestamps
+            # are unique per url; a tie would be order-dependent in the
+            # reference semantics too.)
+            kt = pq.read_table(pages_path, columns=["url", "warc_ts"])
+            kdf = kt.to_pandas()
+            latest = kdf.groupby("url")["warc_ts"].transform("max")
+            keep_pairs = set(
+                zip(kdf.loc[kdf["warc_ts"] == latest, "url"],
+                    kdf.loc[kdf["warc_ts"] == latest, "warc_ts"])
+            )
+            keep_ref = ray.put(keep_pairs)
+
+            def _latest_filter(t: pa.Table) -> pa.Table:
+                pairs = ray.get(keep_ref)
+                mask = [
+                    (u, ts) in pairs
+                    for u, ts in zip(t["url"].to_pylist(), t["warc_ts"].to_pandas())
+                ]
+                return t.filter(pa.array(mask))
+
+            corpus_cached = (
+                rd.read_parquet(pages_path, columns=["url", "warc_ts", "html"])
+                .map_batches(_latest_filter, batch_format="pyarrow", zero_copy_batch=True)
+                .materialize()
+            )
+            corpus_is_latest = True
+
     summary = {"rounds_run": 0, "visits": 0, "extracted": 0, "resumed_at": start_round}
     counters_all: list[dict] = []
 
@@ -333,24 +430,51 @@ def run_crawl_ray(
             break
         summary["rounds_run"] = rnd + 1
         c = {"round": rnd, "frontier_in": n_frontier}
+        _t = time.perf_counter()
 
-        eligible = frontier_ds.filter(expr=f"not_before_round <= {rnd}")
-        deferred = frontier_ds.filter(expr=f"not_before_round > {rnd}")
+        def _lap(name):
+            nonlocal _t
+            now = time.perf_counter()
+            c[f"ms_{name}"] = int((now - _t) * 1000)
+            _t = now
 
-        # -- politeness (SHUFFLE 1) -----------------------------------
-        taken_ds, carry_ds = politeness.politeness_take(
-            eligible, delays, cfg,
-            hot_threshold=cfg.extra.get("hot_threshold", 50_000),
-            n_salts=cfg.extra.get("n_salts", 8),
-            total_rows=n_frontier,  # skips hot-detection when it can't trigger
-        )
-        # One materialization of the (politeness-bounded) taken set; both
-        # fetch strategies and the counters share it — no re-execution.
-        # Empty zero-column blocks (an artifact of map_groups partitions
-        # with no groups) are dropped here: pyarrow joins reject them and
-        # Ray skips map UDFs on empty blocks, so they can't be fixed later.
-        _all_refs = taken_ds.to_arrow_refs()
-        _all_tabs = ray.get(_all_refs) if _all_refs else []
+        # -- politeness (SHUFFLE 1, or driver path for small rounds) ---
+        # Hybrid dispatch: below `driver_round_threshold` rows the
+        # frontier fits trivially on the driver and a Ray all-to-all's
+        # fixed cost (~seconds) would dominate, so the SAME pinned quota
+        # logic runs locally (politeness_take_local). Above it — the
+        # 10^10-frontier design point — the salted groupby shuffle path
+        # runs. Both paths are oracle-equivalence-tested.
+        use_driver_round = n_frontier <= cfg.extra.get("driver_round_threshold", 1_000_000)
+        if use_driver_round:
+            ftab_all = pq.read_table(fdir)
+            _pc = pa.compute
+            elig_mask = _pc.less_equal(ftab_all["not_before_round"], rnd)
+            eligible_tab = ftab_all.filter(elig_mask)
+            deferred_tab = ftab_all.filter(_pc.invert(elig_mask))
+            taken_tbl, carry_tbl = politeness.politeness_take_local(
+                eligible_tab, delays, cfg
+            )
+            deferred = rd.from_arrow(_enforce_frontier_schema(deferred_tab))
+            carry_ds = rd.from_arrow(_enforce_frontier_schema(carry_tbl))
+            _all_tabs = [taken_tbl] if taken_tbl.num_rows else []
+            _all_refs = None
+        else:
+            eligible = frontier_ds.filter(expr=f"not_before_round <= {rnd}")
+            deferred = frontier_ds.filter(expr=f"not_before_round > {rnd}")
+            taken_ds, carry_ds = politeness.politeness_take(
+                eligible, delays, cfg,
+                hot_threshold=cfg.extra.get("hot_threshold", 50_000),
+                n_salts=cfg.extra.get("n_salts", 8),
+                total_rows=n_frontier,  # skips hot-detection when it can't trigger
+            )
+            # One materialization of the (politeness-bounded) taken set;
+            # both fetch strategies and the counters share it. Empty
+            # zero-column blocks (artifact of map_groups partitions with
+            # no groups) are dropped: pyarrow joins reject them and Ray
+            # skips map UDFs on empty blocks, so they can't be fixed later.
+            _all_refs = taken_ds.to_arrow_refs()
+            _all_tabs = ray.get(_all_refs) if _all_refs else []
         pre_request = cfg.extra.get("pre_request")
         if pre_request is not None:
             # X2 hook: user fn may mutate/veto request rows (options-object
@@ -359,6 +483,8 @@ def run_crawl_ray(
                 _enforce_frontier_schema(pre_request(t)) if t.num_rows else t
                 for t in _all_tabs
             ]
+            _all_refs = None
+        if _all_refs is None:
             _all_refs = [ray.put(t) for t in _all_tabs]
         taken_refs = [
             r for r, t in zip(_all_refs, _all_tabs)
@@ -371,7 +497,10 @@ def run_crawl_ray(
             for i, t in enumerate(_all_tabs) if t.num_rows
         ]
 
-        corpus = rd.read_parquet(pages_path, columns=["url", "warc_ts", "html"])
+        _lap("politeness")
+        corpus = corpus_cached if corpus_cached is not None else rd.read_parquet(
+            pages_path, columns=["url", "warc_ts", "html"]
+        )
         miss_rows: list[dict] = []
         if fetch_strategy == "join":
             # Distributed hash join (for fetch sets too large to broadcast):
@@ -443,26 +572,35 @@ def run_crawl_ray(
                     lambda t: _AttachFrontier(fetch_ref)(t),
                     batch_format="pyarrow", zero_copy_batch=True,
                 )
-        # snapshot pick on the (politeness-bounded) matched subset
-        matched = matched.groupby("url").map_groups(_latest_snapshot, batch_format="pandas")
+        # snapshot pick on the (politeness-bounded) matched subset — not
+        # needed when the cached corpus is already latest-per-url
+        if not (corpus_is_latest and fetch_strategy != "join"):
+            matched = matched.groupby("url").map_groups(
+                _latest_snapshot, batch_format="pandas"
+            )
         fp = cfg.fail_permille
+        page_callback = cfg.extra.get("page_callback")
         if fp > 0:
             matched = matched.map_batches(
                 lambda t: _fail_flag_batch(t, fp), batch_format="pyarrow"
             ).materialize()
             ok = matched.filter(expr="fail == False").drop_columns(["fail"])
             failed = matched.filter(expr="fail == True").drop_columns(["fail"])
+            parsed = ok.map_batches(
+                lambda t: _parse_batch(t, page_callback),
+                batch_format="pyarrow", zero_copy_batch=True,
+                concurrency=cfg.extra.get("parse_concurrency", None),
+            ).materialize()
         else:
-            # fault model disabled: skip the flag pass + retry machinery
-            matched = matched.materialize()
-            ok, failed = matched, None
-
-        page_callback = cfg.extra.get("page_callback")
-        parsed = ok.map_batches(
-            lambda t: _parse_batch(t, page_callback),
-            batch_format="pyarrow", zero_copy_batch=True,
-            concurrency=cfg.extra.get("parse_concurrency", None),
-        ).materialize()
+            # fault model disabled: fuse scan -> attach -> snapshot -> parse
+            # into ONE materialized execution
+            failed = None
+            parsed = matched.map_batches(
+                lambda t: _parse_batch(t, page_callback),
+                batch_format="pyarrow", zero_copy_batch=True,
+                concurrency=cfg.extra.get("parse_concurrency", None),
+            ).materialize()
+            matched = parsed  # every matched row is exactly one parsed row
 
         c["status_200"] = parsed.count()
         c["transient_fail"] = failed.count() if failed is not None else 0
@@ -484,6 +622,7 @@ def run_crawl_ray(
         c["status_404"] = len(miss_rows)
         c["fetched"] = c["status_200"] + c["status_404"]
 
+        _lap("fetch_parse")
         # -- visits sink ----------------------------------------------
         vdir = os.path.join(out_dir, f"visits/round={rnd}")
         os.makedirs(vdir, exist_ok=True)
@@ -533,41 +672,103 @@ def run_crawl_ray(
         )
         extracted.write_parquet(edir)
 
+        _lap("sinks_visits_extracted")
         # -- frontier expansion ---------------------------------------
-        # NOTE: per-round intermediates are politeness-bounded (taken <=
-        # hosts x quota; candidates <= taken x fanout), so materialize()
-        # here is bounded state, not a full-corpus pin — it lets the
-        # counter .count() calls and the downstream stage share one
-        # execution instead of re-running the explode + dedup shuffle.
-        candidates = parsed.map_batches(
-            lambda t: _explode_links(t, cfg, rnd), batch_format="pyarrow"
-        ).materialize()
-        c["discovered"] = candidates.count()
-        deduped = candidates.groupby("url_hash").map_groups(
-            _dedup_keep_min, batch_format="pandas"
-        ).materialize()
-        c["after_dedup"] = deduped.count()
-        c["dup_within_round"] = c["discovered"] - c["after_dedup"]
-        # plain tasks, not an actor pool: rules ship once via plasma and
-        # per-round actor spin-up would cost more than every batch combined
-        allowed = deduped.map_batches(
-            make_robots_filter(rules_ref),
-            batch_format="pyarrow", zero_copy_batch=True,
-        ).materialize()
-        c["skipped_robots"] = c["after_dedup"] - allowed.count()
-        accepted = allowed.map_batches(
-            make_seen_filter(seen), batch_format="pyarrow", zero_copy_batch=True,
-        ).materialize()
-        c["accepted_new"] = accepted.count()
-        c["skipped_seen"] = (c["after_dedup"] - c["skipped_robots"]) - c["accepted_new"]
-        part_lineage += [
-            {"round": rnd, "stage": "dedup", "partition": i, "rows": n}
-            for i, n in enumerate(_block_row_counts(deduped))
-        ] + [
-            {"round": rnd, "stage": "accepted", "partition": i, "rows": n}
-            for i, n in enumerate(_block_row_counts(accepted))
-        ]
+        accepted_tab = None  # set on the driver path
+        if use_driver_round:
+            # Driver path (small rounds): explode runs distributed (it
+            # reads the parsed blocks), then the bounded candidate set is
+            # pulled and deduped/filtered locally with the same pinned
+            # logic — no all-to-all shuffle, no flagger execution.
+            cand_refs = parsed.map_batches(
+                lambda t: _explode_links(t, cfg, rnd), batch_format="pyarrow"
+            ).to_arrow_refs()
+            cand_tabs = [
+                t for t in (ray.get(cand_refs) if cand_refs else [])
+                if t.num_rows > 0 and t.num_columns > 0
+            ]
+            cand = (
+                pa.concat_tables(cand_tabs, promote_options="default")
+                if cand_tabs else FRONTIER_SCHEMA.empty_table()
+            )
+            cdf = cand.to_pandas().sort_values(["priority", "seq"], kind="mergesort")
+            ded = cdf.drop_duplicates(subset="url_hash", keep="first")
+            c["discovered"] = len(cdf)
+            c["after_dedup"] = len(ded)
+            c["dup_within_round"] = c["discovered"] - c["after_dedup"]
+            robots_ok = np.fromiter(
+                (
+                    (lambda r: r is None or r.allows_url(u))(rules.get(h))
+                    for h, u in zip(ded["host"], ded["url_norm"])
+                ),
+                bool, len(ded),
+            ) if len(ded) else np.zeros(0, dtype=bool)
+            is_new = np.zeros(len(ded), dtype=bool)
+            idx = np.flatnonzero(robots_ok)
+            if idx.size:
+                hashes = ded["url_hash"].to_numpy().astype(np.uint64)[idx]
+                is_new[idx] = seen.filter_batch(hashes)
+            robots_ok_n = int(robots_ok.sum())
+            c["skipped_robots"] = c["after_dedup"] - robots_ok_n
+            c["accepted_new"] = int(is_new.sum())
+            c["skipped_seen"] = robots_ok_n - c["accepted_new"]
+            accepted_tab = _enforce_frontier_schema(
+                pa.Table.from_pandas(ded[robots_ok & is_new], preserve_index=False)
+            )
+            accepted = rd.from_arrow(accepted_tab)
+            part_lineage += [
+                {"round": rnd, "stage": "dedup", "partition": 0, "rows": c["after_dedup"]},
+                {"round": rnd, "stage": "accepted", "partition": 0, "rows": c["accepted_new"]},
+            ]
+        else:
+            # Distributed path: ONE fused execution — explode -> dedup
+            # shuffle (url_hash) -> robots+seen flags; every counter
+            # derives from the single materialized output (per-round
+            # intermediates are politeness-bounded, so this materialize is
+            # bounded state, not a full-corpus pin).
+            flagged = (
+                parsed.map_batches(
+                    lambda t: _explode_links(t, cfg, rnd), batch_format="pyarrow"
+                )
+                .groupby("url_hash")
+                .map_groups(_dedup_keep_min_n, batch_format="pandas")
+                .map_batches(
+                    make_robots_seen_flagger(rules_ref, seen),
+                    batch_format="pyarrow", zero_copy_batch=True,
+                )
+                .materialize()
+            )
+            _frefs = flagged.to_arrow_refs()
+            ftabs = [
+                t for t in (ray.get(_frefs) if _frefs else [])
+                if t.num_rows > 0 and t.num_columns > 0
+            ]
+            _pc = pa.compute
+            c["after_dedup"] = sum(t.num_rows for t in ftabs)
+            c["discovered"] = int(sum(_pc.sum(t["group_n"]).as_py() or 0 for t in ftabs))
+            c["dup_within_round"] = c["discovered"] - c["after_dedup"]
+            robots_ok_n = int(
+                sum(_pc.sum(_pc.cast(t["robots_ok"], pa.int64())).as_py() or 0 for t in ftabs)
+            )
+            acc_per_tab = [
+                int(_pc.sum(_pc.cast(_pc.and_(t["robots_ok"], t["is_new"]), pa.int64())).as_py() or 0)
+                for t in ftabs
+            ]
+            c["skipped_robots"] = c["after_dedup"] - robots_ok_n
+            c["accepted_new"] = sum(acc_per_tab)
+            c["skipped_seen"] = robots_ok_n - c["accepted_new"]
+            accepted = flagged.map_batches(
+                _take_accepted, batch_format="pyarrow", zero_copy_batch=True
+            )
+            part_lineage += [
+                {"round": rnd, "stage": "dedup", "partition": i, "rows": t.num_rows}
+                for i, t in enumerate(ftabs)
+            ] + [
+                {"round": rnd, "stage": "accepted", "partition": i, "rows": n}
+                for i, n in enumerate(acc_per_tab)
+            ]
 
+        _lap("expand_dedup_seen")
         # -- retries (I3) ---------------------------------------------
         retry_tbl_rows = []
         if c["transient_fail"]:
@@ -592,7 +793,13 @@ def run_crawl_ray(
         # -- seen delta sink ------------------------------------------
         sdir = os.path.join(out_dir, f"seen/round={rnd}")
         os.makedirs(sdir, exist_ok=True)
-        accepted.select_columns(["url_hash"]).write_parquet(sdir)
+        if accepted_tab is not None:  # driver path: write directly
+            pq.write_table(
+                accepted_tab.select(["url_hash"]),
+                os.path.join(sdir, "part-0.parquet"),
+            )
+        else:
+            accepted.select_columns(["url_hash"]).write_parquet(sdir)
 
         # -- next frontier (S6) ---------------------------------------
         nfdir = os.path.join(out_dir, f"frontier/round={rnd + 1}")
@@ -609,6 +816,7 @@ def run_crawl_ray(
         # carry + deferred == frontier - taken (no extra pass needed)
         c["carryover"] = n_frontier - c["taken"]
 
+        _lap("frontier_write")
         # -- lineage + success marker (S5): round-level counters plus
         # per-partition rows-out for the major stages (B:L6 "every
         # partition emits lineage ... to a checkpoint store") ----------

@@ -27,6 +27,22 @@ from raycrawl import core
 from raycrawl.core import CrawlConfig
 
 
+def politeness_take_local(tbl: pa.Table, delays: dict[str, int], cfg: CrawlConfig):
+    """Driver-side quota take for SMALL rounds (same pinned semantics as
+    the grouped path; used below cfg.extra['driver_round_threshold'] where
+    a Ray all-to-all's fixed cost would dominate a politeness-bounded
+    frontier). Returns (taken, carry) pyarrow Tables in crawl order."""
+    if tbl.num_rows == 0:
+        return tbl, tbl
+    df = tbl.to_pandas().sort_values(["host", "priority", "seq"], kind="mergesort")
+    pos = df.groupby("host", sort=False).cumcount().to_numpy()
+    quotas = df["host"].map(lambda h: quota_for(h, delays, cfg)).to_numpy()
+    take = pos < quotas
+    taken = pa.Table.from_pandas(df[take], preserve_index=False)
+    carry = pa.Table.from_pandas(df[~take], preserve_index=False)
+    return taken, carry
+
+
 def quota_for(host: str, delays: dict[str, int], cfg: CrawlConfig) -> int:
     return core.politeness_quota(
         delays.get(host, 0), cfg.rate_limit_ms, cfg.round_duration_ms,

@@ -33,12 +33,23 @@ def _run_and_compare(smoke_corpus, tmp_path, cfg, tag):
 
 def test_salted_politeness_equivalence(ray_session, smoke_corpus, tmp_path):
     """Force every host through the salted two-phase path
-    (hot_threshold=1): quota selection must be unchanged."""
+    (hot_threshold=1, driver path disabled): quota selection must be
+    unchanged."""
     cfg = CrawlConfig(
         max_rounds=3, seen_shards=4,
-        extra={"hot_threshold": 1, "n_salts": 4},
+        extra={"hot_threshold": 1, "n_salts": 4, "driver_round_threshold": 0},
     )
     _run_and_compare(smoke_corpus, tmp_path, cfg, "salted")
+
+
+def test_distributed_round_path_equivalence(ray_session, smoke_corpus, tmp_path):
+    """driver_round_threshold=0 forces the full distributed path
+    (politeness shuffle + fused dedup/flag shuffle); results must equal
+    the oracle exactly, like the default driver path does."""
+    cfg = CrawlConfig(
+        max_rounds=3, seen_shards=4, extra={"driver_round_threshold": 0}
+    )
+    _run_and_compare(smoke_corpus, tmp_path, cfg, "distributed")
 
 
 def test_join_fetch_strategy_equivalence(ray_session, smoke_corpus, tmp_path):
