@@ -42,14 +42,47 @@ def _hash64(s: str) -> int:
     return int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "big")
 
 
+# word-hash memo: vocabularies are tiny relative to token streams, so the
+# per-token blake2b cost amortizes to a dict hit (worker-lifetime cache)
+_WORD_HASH_CACHE: dict[str, int] = {}
+
+
+def _token_hashes(toks: list[str]) -> np.ndarray:
+    cache = _WORD_HASH_CACHE
+    out = np.empty(len(toks), dtype=np.uint64)
+    for i, w in enumerate(toks):
+        h = cache.get(w)
+        if h is None:
+            if len(cache) > 1_000_000:  # bound worker memory
+                cache.clear()
+            h = cache[w] = _hash64(w)
+        out[i] = h
+    return out
+
+
+_SH_M1 = np.uint64(0x9E3779B97F4A7C15)
+_SH_M2 = np.uint64(0xC2B2AE3D27D4EB4F)
+
+
 def shingles(text: str, n: int = 3) -> np.ndarray:
-    """Word n-gram shingle hashes (uint64)."""
+    """Word n-gram shingle hashes (uint64): token hashes combined with a
+    vectorized position-weighted mix — no per-shingle string building."""
     toks = text.split()
+    if not toks:
+        return np.empty(0, dtype=np.uint64)
+    th = _token_hashes(toks)
     if len(toks) < n:
-        grams = [" ".join(toks)] if toks else []
-    else:
-        grams = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
-    return np.array([_hash64(g) for g in grams], dtype=np.uint64)
+        acc = np.uint64(0)
+        with np.errstate(over="ignore"):
+            for i, h in enumerate(th):
+                acc = acc * _SH_M1 + h
+        return np.array([acc or np.uint64(1)], dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        acc = th[: len(th) - n + 1].copy()
+        for k in range(1, n):
+            acc = acc * _SH_M1 + th[k : len(th) - n + 1 + k]
+        acc = (acc ^ (acc >> np.uint64(33))) * _SH_M2
+    return acc
 
 
 def minhash_signature(text: str) -> np.ndarray:
@@ -157,7 +190,7 @@ def simhash(text: str) -> int:
     toks = text.split()
     if not toks:
         return 0
-    hs = np.array([_hash64(w) for w in toks], dtype=np.uint64)
+    hs = _token_hashes(toks)
     bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
         np.int64
     )

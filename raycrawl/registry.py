@@ -108,6 +108,9 @@ def build_queries() -> dict:
         "sort_multi": relational.q_sort_multi,
         "host_topk": relational.q_host_topk,
         "group_headn": relational.q_group_headn,
+        # composite pipelines (TPC-H-shaped)
+        "pipeline_topk": relational.q_pipeline_topk,
+        "pipeline_nation_rollup": relational.q_pipeline_nation_rollup,
         # set ops / dedup (D1, D3, D4)
         "dedup_exact": relational.q_dedup_exact,
         "union_all": relational.q_union_all,
@@ -221,6 +224,19 @@ def build_oracle_sql() -> dict:
             "SELECT o_orderkey, o_custkey, row_number() OVER ("
             "PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey) AS rn "
             "FROM orders) t WHERE rn <= 3"
+        ),
+        "pipeline_topk": (
+            "SELECT o_orderkey, sum(l_quantity) AS sum_qty FROM lineitem "
+            "JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "WHERE c_mktsegment = 'BUILDING' GROUP BY o_orderkey "
+            "ORDER BY sum_qty DESC, o_orderkey LIMIT 10"
+        ),
+        "pipeline_nation_rollup": (
+            "SELECT n_name, count(*) AS n, sum(l_quantity) AS sum_qty "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name"
         ),
         "dedup_exact": "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
         "union_all": (

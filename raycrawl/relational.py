@@ -365,6 +365,76 @@ def q_dedup_exact(sf_dir: str):
     )
 
 
+def q_pipeline_topk(sf_dir: str):
+    """TPC-H-Q3-shaped composite: selective broadcast semi-filter ->
+    hash join -> grouped aggregate -> top-k. Exercises the full
+    filter/join/agg/sort chain in one pipeline."""
+    import pyarrow.parquet as pq_mod
+
+    cust = pq_mod.read_table(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_mktsegment"]
+    )
+    building = set(
+        cust.filter(pc.equal(cust["c_mktsegment"], "BUILDING"))["c_custkey"].to_pylist()
+    )
+    bref = ray.put(building)
+
+    orders = _pq(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+        lambda t: t.filter(
+            pa.array([k in ray.get(bref) for k in t["o_custkey"].to_pylist()])
+        ),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    li = _pq(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+    joined = li.join(orders, "inner", num_partitions=8, on=("l_orderkey",), right_on=("o_orderkey",))
+    return (
+        joined.groupby("l_orderkey")
+        .aggregate(Sum("l_quantity", alias_name="sum_qty"))
+        .map_batches(
+            lambda t: pa.table({"o_orderkey": t["l_orderkey"], "sum_qty": t["sum_qty"]}),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+        .sort(["sum_qty", "o_orderkey"], descending=[True, False])
+        .limit(10)
+    )
+
+
+def q_pipeline_nation_rollup(sf_dir: str):
+    """TPC-H-Q5-shaped composite: big-big hash join + two broadcast
+    dimension hops (customer -> nation) -> grouped rollup by nation."""
+    import pyarrow.parquet as pq_mod
+
+    cust = pq_mod.read_table(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_nationkey"]
+    )
+    nat = pq_mod.read_table(
+        os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_name"]
+    )
+    nmap = dict(zip(nat["n_nationkey"].to_pylist(), nat["n_name"].to_pylist()))
+    cmap = {
+        c: nmap.get(n)
+        for c, n in zip(cust["c_custkey"].to_pylist(), cust["c_nationkey"].to_pylist())
+    }
+    cref = ray.put(cmap)
+
+    li = _pq(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+    orders = _pq(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    joined = li.join(orders, "inner", num_partitions=8, on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def attach_nation(t: pa.Table) -> pa.Table:
+        m = ray.get(cref)
+        names = [m.get(k) for k in t["o_custkey"].to_pylist()]
+        return pa.table(
+            {"n_name": pa.array(names, pa.string()), "l_quantity": t["l_quantity"]}
+        )
+
+    return (
+        joined.map_batches(attach_nation, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("n_name")
+        .aggregate(Count(alias_name="n"), Sum("l_quantity", alias_name="sum_qty"))
+    )
+
+
 def q_union_all(sf_dir: str):
     a = _pq(sf_dir, "documents", ["doc_id", "lang"]).filter(expr="lang == 'en'")
     b = _pq(sf_dir, "documents", ["doc_id", "lang"]).filter(expr="lang == 'de'")
