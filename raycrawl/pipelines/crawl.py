@@ -302,6 +302,38 @@ def _fail_flag_batch(t: pa.Table, fail_permille: int) -> pa.Table:
     return t.append_column("fail", pa.array(flags, pa.bool_()))
 
 
+
+def _cleanup_round_dirs(out_dir: str, rnd: int) -> None:
+    """Remove partial outputs of an uncommitted round so re-execution
+    (crash recovery or mid-round resume) is idempotent — round dirs are
+    only trusted once the _SUCCESS marker exists."""
+    import shutil
+
+    for p in (
+        f"visits/round={rnd}", f"extracted/round={rnd}", f"seen/round={rnd}",
+        f"ckpt/round={rnd}", f"frontier/round={rnd + 1}",
+    ):
+        d = os.path.join(out_dir, p)
+        if os.path.isdir(d):
+            shutil.rmtree(d)
+
+
+def _load_committed_hashes(out_dir: str) -> np.ndarray:
+    """All url_hashes from committed seen-delta snapshots (bootstrap +
+    completed rounds) — the replay source for rebuilding a dead shard."""
+    import glob as _glob
+
+    tabs = [
+        pq.read_table(f)
+        for f in sorted(_glob.glob(os.path.join(out_dir, "seen/round=*/*.parquet")))
+    ]
+    tabs = [t for t in tabs if t.num_rows]
+    if not tabs:
+        return np.empty(0, np.uint64)
+    t = pa.concat_tables(tabs, promote_options="default")
+    return t["url_hash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+
+
 def run_crawl_ray(
     corpus_dir: str,
     out_dir: str,
@@ -429,421 +461,438 @@ def run_crawl_ray(
         if n_frontier == 0:
             break
         summary["rounds_run"] = rnd + 1
-        c = {"round": rnd, "frontier_in": n_frontier}
-        _t = time.perf_counter()
+        chaos = cfg.extra.get("chaos_kill_shard_in_round")
+        round_attempts = 0
+        while True:  # crash-recovery retry scope (I4): rounds are idempotent
+            try:
+                seen.begin_round()
+                _cleanup_round_dirs(out_dir, rnd)
+                if chaos is not None and chaos[0] == rnd and round_attempts == 0:
+                    # fault injection (tests): kill a seen shard mid-round
+                    ray.kill(seen.shards[chaos[1]], no_restart=True)
+                c = {"round": rnd, "frontier_in": n_frontier}
+                _t = time.perf_counter()
 
-        def _lap(name):
-            nonlocal _t
-            now = time.perf_counter()
-            c[f"ms_{name}"] = int((now - _t) * 1000)
-            _t = now
+                def _lap(name):
+                    nonlocal _t
+                    now = time.perf_counter()
+                    c[f"ms_{name}"] = int((now - _t) * 1000)
+                    _t = now
 
-        # -- politeness (SHUFFLE 1, or driver path for small rounds) ---
-        # Hybrid dispatch: below `driver_round_threshold` rows the
-        # frontier fits trivially on the driver and a Ray all-to-all's
-        # fixed cost (~seconds) would dominate, so the SAME pinned quota
-        # logic runs locally (politeness_take_local). Above it — the
-        # 10^10-frontier design point — the salted groupby shuffle path
-        # runs. Both paths are oracle-equivalence-tested.
-        use_driver_round = n_frontier <= cfg.extra.get("driver_round_threshold", 1_000_000)
-        if use_driver_round:
-            ftab_all = pq.read_table(fdir)
-            _pc = pa.compute
-            elig_mask = _pc.less_equal(ftab_all["not_before_round"], rnd)
-            eligible_tab = ftab_all.filter(elig_mask)
-            deferred_tab = ftab_all.filter(_pc.invert(elig_mask))
-            taken_tbl, carry_tbl = politeness.politeness_take_local(
-                eligible_tab, delays, cfg
-            )
-            deferred = rd.from_arrow(_enforce_frontier_schema(deferred_tab))
-            carry_ds = rd.from_arrow(_enforce_frontier_schema(carry_tbl))
-            _all_tabs = [taken_tbl] if taken_tbl.num_rows else []
-            _all_refs = None
-        else:
-            eligible = frontier_ds.filter(expr=f"not_before_round <= {rnd}")
-            deferred = frontier_ds.filter(expr=f"not_before_round > {rnd}")
-            taken_ds, carry_ds = politeness.politeness_take(
-                eligible, delays, cfg,
-                hot_threshold=cfg.extra.get("hot_threshold", 50_000),
-                n_salts=cfg.extra.get("n_salts", 8),
-                total_rows=n_frontier,  # skips hot-detection when it can't trigger
-            )
-            # One materialization of the (politeness-bounded) taken set;
-            # both fetch strategies and the counters share it. Empty
-            # zero-column blocks (artifact of map_groups partitions with
-            # no groups) are dropped: pyarrow joins reject them and Ray
-            # skips map UDFs on empty blocks, so they can't be fixed later.
-            _all_refs = taken_ds.to_arrow_refs()
-            _all_tabs = ray.get(_all_refs) if _all_refs else []
-        pre_request = cfg.extra.get("pre_request")
-        if pre_request is not None:
-            # X2 hook: user fn may mutate/veto request rows (options-object
-            # analog). Applied to the bounded taken blocks, re-put to plasma.
-            _all_tabs = [
-                _enforce_frontier_schema(pre_request(t)) if t.num_rows else t
-                for t in _all_tabs
-            ]
-            _all_refs = None
-        if _all_refs is None:
-            _all_refs = [ray.put(t) for t in _all_tabs]
-        taken_refs = [
-            r for r, t in zip(_all_refs, _all_tabs)
-            if t.num_rows > 0 and t.num_columns > 0
-        ]
-        c["taken"] = int(sum(t.num_rows for t in _all_tabs))
-        part_lineage: list[dict] = [
-            {"round": rnd, "stage": "politeness_taken", "partition": i,
-             "rows": t.num_rows}
-            for i, t in enumerate(_all_tabs) if t.num_rows
-        ]
-
-        _lap("politeness")
-        corpus = corpus_cached if corpus_cached is not None else rd.read_parquet(
-            pages_path, columns=["url", "warc_ts", "html"]
-        )
-        miss_rows: list[dict] = []
-        if fetch_strategy == "join":
-            # Distributed hash join (for fetch sets too large to broadcast):
-            # LEFT OUTER so 404 misses fall out of the same single shuffle.
-            left = (
-                rd.from_arrow_refs(taken_refs)
-                if taken_refs
-                else rd.from_arrow(FRONTIER_SCHEMA.empty_table())
-            ).map_batches(
-                _enforce_frontier_schema, batch_format="pyarrow", zero_copy_batch=True
-            )
-            joined = left.join(
-                corpus, "left_outer", num_partitions=cfg.num_partitions,
-                on=("url_norm",), right_on=("url",),
-            )
-            # after the join `url` is the frontier's RAW form; downstream
-            # keys on the corpus url == url_norm, so rewrite it.
-            joined = joined.map_batches(
-                lambda t: t.set_column(
-                    t.schema.get_field_index("url"), "url", t["url_norm"]
-                ),
-                batch_format="pyarrow",
-                zero_copy_batch=True,
-            ).materialize()
-            matched = joined.map_batches(
-                lambda t: t.filter(pa.compute.is_valid(t["html"])),
-                batch_format="pyarrow", zero_copy_batch=True,
-            )
-            missed_ds = joined.map_batches(
-                lambda t: t.filter(pa.compute.is_null(t["html"])),
-                batch_format="pyarrow", zero_copy_batch=True,
-            )
-            for b in missed_ds.select_columns(
-                ["url_norm", "priority", "host", "seq"]
-            ).iter_batches(batch_format="pyarrow"):
-                for u, p, ho, s in zip(
-                    b["url_norm"].to_pylist(), b["priority"].to_pylist(),
-                    b["host"].to_pylist(), b["seq"].to_pylist(),
-                ):
-                    miss_rows.append(
-                        {"url": u, "round": rnd, "priority": p, "host": ho,
-                         "seq": s, "status": 404}
+                # -- politeness (SHUFFLE 1, or driver path for small rounds) ---
+                # Hybrid dispatch: below `driver_round_threshold` rows the
+                # frontier fits trivially on the driver and a Ray all-to-all's
+                # fixed cost (~seconds) would dominate, so the SAME pinned quota
+                # logic runs locally (politeness_take_local). Above it — the
+                # 10^10-frontier design point — the salted groupby shuffle path
+                # runs. Both paths are oracle-equivalence-tested.
+                use_driver_round = n_frontier <= cfg.extra.get("driver_round_threshold", 1_000_000)
+                if use_driver_round:
+                    ftab_all = pq.read_table(fdir)
+                    _pc = pa.compute
+                    elig_mask = _pc.less_equal(ftab_all["not_before_round"], rnd)
+                    eligible_tab = ftab_all.filter(elig_mask)
+                    deferred_tab = ftab_all.filter(_pc.invert(elig_mask))
+                    taken_tbl, carry_tbl = politeness.politeness_take_local(
+                        eligible_tab, delays, cfg
                     )
-        else:
-            # Broadcast fetch set: ship {url_norm -> frontier fields} once
-            # via ray.put; the corpus scan filters per batch. value tuple:
-            # (url_norm, url_hash, host, depth, priority, seq, attempt)
-            fetch_map = {}
-            for r in taken_refs:
-                tt = ray.get(r)
-                for n, h, ho, d, p, s, a in zip(
-                    tt["url_norm"].to_pylist(), tt["url_hash"].to_pylist(),
-                    tt["host"].to_pylist(), tt["depth"].to_pylist(),
-                    tt["priority"].to_pylist(), tt["seq"].to_pylist(),
-                    tt["attempt"].to_pylist(),
-                ):
-                    fetch_map[n] = (n, h, ho, d, p, s, a)
-            fetch_ref = ray.put(fetch_map)
-            if len(fetch_map) > cfg.extra.get("fetch_actor_threshold", 500_000):
-                # big fetch set: actor pool amortizes the dict deserialize
-                matched = corpus.map_batches(
-                    _AttachFrontier, fn_constructor_args=(fetch_ref,),
-                    batch_format="pyarrow", zero_copy_batch=True,
-                    concurrency=cfg.extra.get("fetch_concurrency", (1, 8)),
+                    deferred = rd.from_arrow(_enforce_frontier_schema(deferred_tab))
+                    carry_ds = rd.from_arrow(_enforce_frontier_schema(carry_tbl))
+                    _all_tabs = [taken_tbl] if taken_tbl.num_rows else []
+                    _all_refs = None
+                else:
+                    eligible = frontier_ds.filter(expr=f"not_before_round <= {rnd}")
+                    deferred = frontier_ds.filter(expr=f"not_before_round > {rnd}")
+                    taken_ds, carry_ds = politeness.politeness_take(
+                        eligible, delays, cfg,
+                        hot_threshold=cfg.extra.get("hot_threshold", 50_000),
+                        n_salts=cfg.extra.get("n_salts", 8),
+                        total_rows=n_frontier,  # skips hot-detection when it can't trigger
+                    )
+                    # One materialization of the (politeness-bounded) taken set;
+                    # both fetch strategies and the counters share it. Empty
+                    # zero-column blocks (artifact of map_groups partitions with
+                    # no groups) are dropped: pyarrow joins reject them and Ray
+                    # skips map UDFs on empty blocks, so they can't be fixed later.
+                    _all_refs = taken_ds.to_arrow_refs()
+                    _all_tabs = ray.get(_all_refs) if _all_refs else []
+                pre_request = cfg.extra.get("pre_request")
+                if pre_request is not None:
+                    # X2 hook: user fn may mutate/veto request rows (options-object
+                    # analog). Applied to the bounded taken blocks, re-put to plasma.
+                    _all_tabs = [
+                        _enforce_frontier_schema(pre_request(t)) if t.num_rows else t
+                        for t in _all_tabs
+                    ]
+                    _all_refs = None
+                if _all_refs is None:
+                    _all_refs = [ray.put(t) for t in _all_tabs]
+                taken_refs = [
+                    r for r, t in zip(_all_refs, _all_tabs)
+                    if t.num_rows > 0 and t.num_columns > 0
+                ]
+                c["taken"] = int(sum(t.num_rows for t in _all_tabs))
+                part_lineage: list[dict] = [
+                    {"round": rnd, "stage": "politeness_taken", "partition": i,
+                     "rows": t.num_rows}
+                    for i, t in enumerate(_all_tabs) if t.num_rows
+                ]
+
+                _lap("politeness")
+                corpus = corpus_cached if corpus_cached is not None else rd.read_parquet(
+                    pages_path, columns=["url", "warc_ts", "html"]
                 )
-            else:
-                # small fetch set: plain tasks skip per-round actor spin-up
-                matched = corpus.map_batches(
-                    lambda t: _AttachFrontier(fetch_ref)(t),
-                    batch_format="pyarrow", zero_copy_batch=True,
-                )
-        # snapshot pick on the (politeness-bounded) matched subset — not
-        # needed when the cached corpus is already latest-per-url
-        if not (corpus_is_latest and fetch_strategy != "join"):
-            matched = matched.groupby("url").map_groups(
-                _latest_snapshot, batch_format="pandas"
-            )
-        fp = cfg.fail_permille
-        page_callback = cfg.extra.get("page_callback")
-        if fp > 0:
-            matched = matched.map_batches(
-                lambda t: _fail_flag_batch(t, fp), batch_format="pyarrow"
-            ).materialize()
-            ok = matched.filter(expr="fail == False").drop_columns(["fail"])
-            failed = matched.filter(expr="fail == True").drop_columns(["fail"])
-            parsed = ok.map_batches(
-                lambda t: _parse_batch(t, page_callback),
-                batch_format="pyarrow", zero_copy_batch=True,
-                concurrency=cfg.extra.get("parse_concurrency", None),
-            ).materialize()
-        else:
-            # fault model disabled: fuse scan -> attach -> snapshot -> parse
-            # into ONE materialized execution
-            failed = None
-            parsed = matched.map_batches(
-                lambda t: _parse_batch(t, page_callback),
-                batch_format="pyarrow", zero_copy_batch=True,
-                concurrency=cfg.extra.get("parse_concurrency", None),
-            ).materialize()
-            matched = parsed  # every matched row is exactly one parsed row
-
-        c["status_200"] = parsed.count()
-        c["transient_fail"] = failed.count() if failed is not None else 0
-        part_lineage += [
-            {"round": rnd, "stage": "parse", "partition": i, "rows": n}
-            for i, n in enumerate(_block_row_counts(parsed))
-        ]
-
-        if fetch_strategy != "join":
-            # -- misses -> 404 (J2, broadcast mode) -------------------
-            matched_urls = set()
-            for b in matched.select_columns(["url"]).iter_batches(batch_format="pyarrow"):
-                matched_urls.update(b["url"].to_pylist())
-            miss_rows = [
-                {"url": u, "round": rnd, "priority": v[4], "host": v[2],
-                 "seq": v[5], "status": 404}
-                for u, v in fetch_map.items() if u not in matched_urls
-            ]
-        c["status_404"] = len(miss_rows)
-        c["fetched"] = c["status_200"] + c["status_404"]
-
-        _lap("fetch_parse")
-        # -- visits sink ----------------------------------------------
-        vdir = os.path.join(out_dir, f"visits/round={rnd}")
-        os.makedirs(vdir, exist_ok=True)
-        uas = cfg.user_agents
-        visit_ok = parsed.map_batches(
-            lambda t: pa.table(
-                {
-                    "url": t["url_norm"].cast(pa.string()),
-                    "round": pa.array([rnd] * t.num_rows, pa.int32()),
-                    "priority": t["priority"].cast(pa.int32()),
-                    "host": t["host"].cast(pa.string()),
-                    "seq": t["seq"].cast(pa.int64()),
-                    "status": pa.array([200] * t.num_rows, pa.int32()),
-                    # M12 deterministic UA rotation: ua_list[seq % len]
-                    "user_agent": pa.array(
-                        [uas[s % len(uas)] for s in t["seq"].to_pylist()], pa.string()
-                    ),
-                }
-            ),
-            batch_format="pyarrow",
-        )
-        visit_ok.write_parquet(vdir)
-        if miss_rows:
-            mt = pa.table(
-                {k: pa.array([r[k] for r in miss_rows], VISIT_SCHEMA.field(k).type)
-                 for k in VISIT_SCHEMA.names}
-            )
-            mt = mt.append_column(
-                "user_agent",
-                pa.array([uas[r["seq"] % len(uas)] for r in miss_rows], pa.string()),
-            )
-            pq.write_table(mt, os.path.join(vdir, "misses.parquet"))
-
-        # -- extracted sink (S4) --------------------------------------
-        edir = os.path.join(out_dir, f"extracted/round={rnd}")
-        os.makedirs(edir, exist_ok=True)
-        extracted = parsed.map_batches(
-            lambda t: pa.table(
-                {
-                    "url": t["url_norm"].cast(pa.string()),
-                    "text": t["text"].cast(pa.string()),
-                    "n_links": t["n_links"].cast(pa.int32()),
-                    "round": pa.array([rnd] * t.num_rows, pa.int32()),
-                }
-            ),
-            batch_format="pyarrow",
-        )
-        extracted.write_parquet(edir)
-
-        _lap("sinks_visits_extracted")
-        # -- frontier expansion ---------------------------------------
-        accepted_tab = None  # set on the driver path
-        if use_driver_round:
-            # Driver path (small rounds): explode runs distributed (it
-            # reads the parsed blocks), then the bounded candidate set is
-            # pulled and deduped/filtered locally with the same pinned
-            # logic — no all-to-all shuffle, no flagger execution.
-            cand_refs = parsed.map_batches(
-                lambda t: _explode_links(t, cfg, rnd), batch_format="pyarrow"
-            ).to_arrow_refs()
-            cand_tabs = [
-                t for t in (ray.get(cand_refs) if cand_refs else [])
-                if t.num_rows > 0 and t.num_columns > 0
-            ]
-            cand = (
-                pa.concat_tables(cand_tabs, promote_options="default")
-                if cand_tabs else FRONTIER_SCHEMA.empty_table()
-            )
-            cdf = cand.to_pandas().sort_values(["priority", "seq"], kind="mergesort")
-            ded = cdf.drop_duplicates(subset="url_hash", keep="first")
-            c["discovered"] = len(cdf)
-            c["after_dedup"] = len(ded)
-            c["dup_within_round"] = c["discovered"] - c["after_dedup"]
-            robots_ok = np.fromiter(
-                (
-                    (lambda r: r is None or r.allows_url(u))(rules.get(h))
-                    for h, u in zip(ded["host"], ded["url_norm"])
-                ),
-                bool, len(ded),
-            ) if len(ded) else np.zeros(0, dtype=bool)
-            is_new = np.zeros(len(ded), dtype=bool)
-            idx = np.flatnonzero(robots_ok)
-            if idx.size:
-                hashes = ded["url_hash"].to_numpy().astype(np.uint64)[idx]
-                is_new[idx] = seen.filter_batch(hashes)
-            robots_ok_n = int(robots_ok.sum())
-            c["skipped_robots"] = c["after_dedup"] - robots_ok_n
-            c["accepted_new"] = int(is_new.sum())
-            c["skipped_seen"] = robots_ok_n - c["accepted_new"]
-            accepted_tab = _enforce_frontier_schema(
-                pa.Table.from_pandas(ded[robots_ok & is_new], preserve_index=False)
-            )
-            accepted = rd.from_arrow(accepted_tab)
-            part_lineage += [
-                {"round": rnd, "stage": "dedup", "partition": 0, "rows": c["after_dedup"]},
-                {"round": rnd, "stage": "accepted", "partition": 0, "rows": c["accepted_new"]},
-            ]
-        else:
-            # Distributed path: ONE fused execution — explode -> dedup
-            # shuffle (url_hash) -> robots+seen flags; every counter
-            # derives from the single materialized output (per-round
-            # intermediates are politeness-bounded, so this materialize is
-            # bounded state, not a full-corpus pin).
-            flagged = (
-                parsed.map_batches(
-                    lambda t: _explode_links(t, cfg, rnd), batch_format="pyarrow"
-                )
-                .groupby("url_hash")
-                .map_groups(_dedup_keep_min_n, batch_format="pandas")
-                .map_batches(
-                    make_robots_seen_flagger(rules_ref, seen),
-                    batch_format="pyarrow", zero_copy_batch=True,
-                )
-                .materialize()
-            )
-            _frefs = flagged.to_arrow_refs()
-            ftabs = [
-                t for t in (ray.get(_frefs) if _frefs else [])
-                if t.num_rows > 0 and t.num_columns > 0
-            ]
-            _pc = pa.compute
-            c["after_dedup"] = sum(t.num_rows for t in ftabs)
-            c["discovered"] = int(sum(_pc.sum(t["group_n"]).as_py() or 0 for t in ftabs))
-            c["dup_within_round"] = c["discovered"] - c["after_dedup"]
-            robots_ok_n = int(
-                sum(_pc.sum(_pc.cast(t["robots_ok"], pa.int64())).as_py() or 0 for t in ftabs)
-            )
-            acc_per_tab = [
-                int(_pc.sum(_pc.cast(_pc.and_(t["robots_ok"], t["is_new"]), pa.int64())).as_py() or 0)
-                for t in ftabs
-            ]
-            c["skipped_robots"] = c["after_dedup"] - robots_ok_n
-            c["accepted_new"] = sum(acc_per_tab)
-            c["skipped_seen"] = robots_ok_n - c["accepted_new"]
-            accepted = flagged.map_batches(
-                _take_accepted, batch_format="pyarrow", zero_copy_batch=True
-            )
-            part_lineage += [
-                {"round": rnd, "stage": "dedup", "partition": i, "rows": t.num_rows}
-                for i, t in enumerate(ftabs)
-            ] + [
-                {"round": rnd, "stage": "accepted", "partition": i, "rows": n}
-                for i, n in enumerate(acc_per_tab)
-            ]
-
-        _lap("expand_dedup_seen")
-        # -- retries (I3) ---------------------------------------------
-        retry_tbl_rows = []
-        if c["transient_fail"]:
-            for ref in failed.to_arrow_refs():
-                ft = ray.get(ref)
-                for i in range(ft.num_rows):
-                    att = ft["attempt"][i].as_py()
-                    if att + 1 <= cfg.retries:
-                        u = ft["url_norm"][i].as_py()
-                        retry_tbl_rows.append(
-                            dict(url=u, url_norm=u,
-                                 url_hash=ft["url_hash"][i].as_py(),
-                                 host=ft["host"][i].as_py(),
-                                 depth=ft["depth"][i].as_py(),
-                                 priority=ft["priority"][i].as_py(),
-                                 parent_url="", seq=ft["seq"][i].as_py(),
-                                 attempt=att + 1, not_before_round=rnd + 1,
-                                 discovered_round=rnd)
+                miss_rows: list[dict] = []
+                if fetch_strategy == "join":
+                    # Distributed hash join (for fetch sets too large to broadcast):
+                    # LEFT OUTER so 404 misses fall out of the same single shuffle.
+                    left = (
+                        rd.from_arrow_refs(taken_refs)
+                        if taken_refs
+                        else rd.from_arrow(FRONTIER_SCHEMA.empty_table())
+                    ).map_batches(
+                        _enforce_frontier_schema, batch_format="pyarrow", zero_copy_batch=True
+                    )
+                    joined = left.join(
+                        corpus, "left_outer", num_partitions=cfg.num_partitions,
+                        on=("url_norm",), right_on=("url",),
+                    )
+                    # after the join `url` is the frontier's RAW form; downstream
+                    # keys on the corpus url == url_norm, so rewrite it.
+                    joined = joined.map_batches(
+                        lambda t: t.set_column(
+                            t.schema.get_field_index("url"), "url", t["url_norm"]
+                        ),
+                        batch_format="pyarrow",
+                        zero_copy_batch=True,
+                    ).materialize()
+                    matched = joined.map_batches(
+                        lambda t: t.filter(pa.compute.is_valid(t["html"])),
+                        batch_format="pyarrow", zero_copy_batch=True,
+                    )
+                    missed_ds = joined.map_batches(
+                        lambda t: t.filter(pa.compute.is_null(t["html"])),
+                        batch_format="pyarrow", zero_copy_batch=True,
+                    )
+                    for b in missed_ds.select_columns(
+                        ["url_norm", "priority", "host", "seq"]
+                    ).iter_batches(batch_format="pyarrow"):
+                        for u, p, ho, s in zip(
+                            b["url_norm"].to_pylist(), b["priority"].to_pylist(),
+                            b["host"].to_pylist(), b["seq"].to_pylist(),
+                        ):
+                            miss_rows.append(
+                                {"url": u, "round": rnd, "priority": p, "host": ho,
+                                 "seq": s, "status": 404}
+                            )
+                else:
+                    # Broadcast fetch set: ship {url_norm -> frontier fields} once
+                    # via ray.put; the corpus scan filters per batch. value tuple:
+                    # (url_norm, url_hash, host, depth, priority, seq, attempt)
+                    fetch_map = {}
+                    for r in taken_refs:
+                        tt = ray.get(r)
+                        for n, h, ho, d, p, s, a in zip(
+                            tt["url_norm"].to_pylist(), tt["url_hash"].to_pylist(),
+                            tt["host"].to_pylist(), tt["depth"].to_pylist(),
+                            tt["priority"].to_pylist(), tt["seq"].to_pylist(),
+                            tt["attempt"].to_pylist(),
+                        ):
+                            fetch_map[n] = (n, h, ho, d, p, s, a)
+                    fetch_ref = ray.put(fetch_map)
+                    if len(fetch_map) > cfg.extra.get("fetch_actor_threshold", 500_000):
+                        # big fetch set: actor pool amortizes the dict deserialize
+                        matched = corpus.map_batches(
+                            _AttachFrontier, fn_constructor_args=(fetch_ref,),
+                            batch_format="pyarrow", zero_copy_batch=True,
+                            concurrency=cfg.extra.get("fetch_concurrency", (1, 8)),
                         )
-        c["retry_exhausted"] = c["transient_fail"] - len(retry_tbl_rows)
+                    else:
+                        # small fetch set: plain tasks skip per-round actor spin-up
+                        matched = corpus.map_batches(
+                            lambda t: _AttachFrontier(fetch_ref)(t),
+                            batch_format="pyarrow", zero_copy_batch=True,
+                        )
+                # snapshot pick on the (politeness-bounded) matched subset — not
+                # needed when the cached corpus is already latest-per-url
+                if not (corpus_is_latest and fetch_strategy != "join"):
+                    matched = matched.groupby("url").map_groups(
+                        _latest_snapshot, batch_format="pandas"
+                    )
+                fp = cfg.fail_permille
+                page_callback = cfg.extra.get("page_callback")
+                if fp > 0:
+                    matched = matched.map_batches(
+                        lambda t: _fail_flag_batch(t, fp), batch_format="pyarrow"
+                    ).materialize()
+                    ok = matched.filter(expr="fail == False").drop_columns(["fail"])
+                    failed = matched.filter(expr="fail == True").drop_columns(["fail"])
+                    parsed = ok.map_batches(
+                        lambda t: _parse_batch(t, page_callback),
+                        batch_format="pyarrow", zero_copy_batch=True,
+                        concurrency=cfg.extra.get("parse_concurrency", None),
+                    ).materialize()
+                else:
+                    # fault model disabled: fuse scan -> attach -> snapshot -> parse
+                    # into ONE materialized execution
+                    failed = None
+                    parsed = matched.map_batches(
+                        lambda t: _parse_batch(t, page_callback),
+                        batch_format="pyarrow", zero_copy_batch=True,
+                        concurrency=cfg.extra.get("parse_concurrency", None),
+                    ).materialize()
+                    matched = parsed  # every matched row is exactly one parsed row
 
-        # -- seen delta sink ------------------------------------------
-        sdir = os.path.join(out_dir, f"seen/round={rnd}")
-        os.makedirs(sdir, exist_ok=True)
-        if accepted_tab is not None:  # driver path: write directly
-            pq.write_table(
-                accepted_tab.select(["url_hash"]),
-                os.path.join(sdir, "part-0.parquet"),
-            )
-        else:
-            accepted.select_columns(["url_hash"]).write_parquet(sdir)
+                c["status_200"] = parsed.count()
+                c["transient_fail"] = failed.count() if failed is not None else 0
+                part_lineage += [
+                    {"round": rnd, "stage": "parse", "partition": i, "rows": n}
+                    for i, n in enumerate(_block_row_counts(parsed))
+                ]
 
-        # -- next frontier (S6) ---------------------------------------
-        nfdir = os.path.join(out_dir, f"frontier/round={rnd + 1}")
-        os.makedirs(nfdir, exist_ok=True)
-        next_frontier = carry_ds.union(deferred).union(accepted)
-        next_frontier = next_frontier.map_batches(
-            _enforce_frontier_schema, batch_format="pyarrow", zero_copy_batch=True
-        )
-        if retry_tbl_rows:
-            next_frontier = next_frontier.union(
-                rd.from_arrow(_frontier_table(retry_tbl_rows))
-            )
-        next_frontier.write_parquet(nfdir)
-        # carry + deferred == frontier - taken (no extra pass needed)
-        c["carryover"] = n_frontier - c["taken"]
+                if fetch_strategy != "join":
+                    # -- misses -> 404 (J2, broadcast mode) -------------------
+                    matched_urls = set()
+                    for b in matched.select_columns(["url"]).iter_batches(batch_format="pyarrow"):
+                        matched_urls.update(b["url"].to_pylist())
+                    miss_rows = [
+                        {"url": u, "round": rnd, "priority": v[4], "host": v[2],
+                         "seq": v[5], "status": 404}
+                        for u, v in fetch_map.items() if u not in matched_urls
+                    ]
+                c["status_404"] = len(miss_rows)
+                c["fetched"] = c["status_200"] + c["status_404"]
 
-        _lap("frontier_write")
-        # -- lineage + success marker (S5): round-level counters plus
-        # per-partition rows-out for the major stages (B:L6 "every
-        # partition emits lineage ... to a checkpoint store") ----------
-        cdir = os.path.join(out_dir, f"ckpt/round={rnd}")
-        os.makedirs(cdir, exist_ok=True)
-        pq.write_table(
-            pa.table({k: [v] for k, v in c.items()}),
-            os.path.join(cdir, "lineage.parquet"),
-        )
-        if part_lineage:
-            pq.write_table(
-                pa.table(
-                    {
-                        "round": pa.array([r["round"] for r in part_lineage], pa.int32()),
-                        "stage": pa.array([r["stage"] for r in part_lineage], pa.string()),
-                        "partition": pa.array([r["partition"] for r in part_lineage], pa.int32()),
-                        "rows": pa.array([r["rows"] for r in part_lineage], pa.int64()),
-                    }
-                ),
-                os.path.join(cdir, "partition_lineage.parquet"),
-            )
-        with open(os.path.join(cdir, "_SUCCESS"), "w") as f:
-            f.write("ok\n")
+                _lap("fetch_parse")
+                # -- visits sink ----------------------------------------------
+                vdir = os.path.join(out_dir, f"visits/round={rnd}")
+                os.makedirs(vdir, exist_ok=True)
+                uas = cfg.user_agents
+                visit_ok = parsed.map_batches(
+                    lambda t: pa.table(
+                        {
+                            "url": t["url_norm"].cast(pa.string()),
+                            "round": pa.array([rnd] * t.num_rows, pa.int32()),
+                            "priority": t["priority"].cast(pa.int32()),
+                            "host": t["host"].cast(pa.string()),
+                            "seq": t["seq"].cast(pa.int64()),
+                            "status": pa.array([200] * t.num_rows, pa.int32()),
+                            # M12 deterministic UA rotation: ua_list[seq % len]
+                            "user_agent": pa.array(
+                                [uas[s % len(uas)] for s in t["seq"].to_pylist()], pa.string()
+                            ),
+                        }
+                    ),
+                    batch_format="pyarrow",
+                )
+                visit_ok.write_parquet(vdir)
+                if miss_rows:
+                    mt = pa.table(
+                        {k: pa.array([r[k] for r in miss_rows], VISIT_SCHEMA.field(k).type)
+                         for k in VISIT_SCHEMA.names}
+                    )
+                    mt = mt.append_column(
+                        "user_agent",
+                        pa.array([uas[r["seq"] % len(uas)] for r in miss_rows], pa.string()),
+                    )
+                    pq.write_table(mt, os.path.join(vdir, "misses.parquet"))
 
-        counters_all.append(c)
-        summary["visits"] += c["fetched"]
-        summary["extracted"] += c["status_200"]
+                # -- extracted sink (S4) --------------------------------------
+                edir = os.path.join(out_dir, f"extracted/round={rnd}")
+                os.makedirs(edir, exist_ok=True)
+                extracted = parsed.map_batches(
+                    lambda t: pa.table(
+                        {
+                            "url": t["url_norm"].cast(pa.string()),
+                            "text": t["text"].cast(pa.string()),
+                            "n_links": t["n_links"].cast(pa.int32()),
+                            "round": pa.array([rnd] * t.num_rows, pa.int32()),
+                        }
+                    ),
+                    batch_format="pyarrow",
+                )
+                extracted.write_parquet(edir)
+
+                _lap("sinks_visits_extracted")
+                # -- frontier expansion ---------------------------------------
+                accepted_tab = None  # set on the driver path
+                if use_driver_round:
+                    # Driver path (small rounds): explode runs distributed (it
+                    # reads the parsed blocks), then the bounded candidate set is
+                    # pulled and deduped/filtered locally with the same pinned
+                    # logic — no all-to-all shuffle, no flagger execution.
+                    cand_refs = parsed.map_batches(
+                        lambda t: _explode_links(t, cfg, rnd), batch_format="pyarrow"
+                    ).to_arrow_refs()
+                    cand_tabs = [
+                        t for t in (ray.get(cand_refs) if cand_refs else [])
+                        if t.num_rows > 0 and t.num_columns > 0
+                    ]
+                    cand = (
+                        pa.concat_tables(cand_tabs, promote_options="default")
+                        if cand_tabs else FRONTIER_SCHEMA.empty_table()
+                    )
+                    cdf = cand.to_pandas().sort_values(["priority", "seq"], kind="mergesort")
+                    ded = cdf.drop_duplicates(subset="url_hash", keep="first")
+                    c["discovered"] = len(cdf)
+                    c["after_dedup"] = len(ded)
+                    c["dup_within_round"] = c["discovered"] - c["after_dedup"]
+                    robots_ok = np.fromiter(
+                        (
+                            (lambda r: r is None or r.allows_url(u))(rules.get(h))
+                            for h, u in zip(ded["host"], ded["url_norm"])
+                        ),
+                        bool, len(ded),
+                    ) if len(ded) else np.zeros(0, dtype=bool)
+                    is_new = np.zeros(len(ded), dtype=bool)
+                    idx = np.flatnonzero(robots_ok)
+                    if idx.size:
+                        hashes = ded["url_hash"].to_numpy().astype(np.uint64)[idx]
+                        is_new[idx] = seen.filter_batch(hashes)
+                    robots_ok_n = int(robots_ok.sum())
+                    c["skipped_robots"] = c["after_dedup"] - robots_ok_n
+                    c["accepted_new"] = int(is_new.sum())
+                    c["skipped_seen"] = robots_ok_n - c["accepted_new"]
+                    accepted_tab = _enforce_frontier_schema(
+                        pa.Table.from_pandas(ded[robots_ok & is_new], preserve_index=False)
+                    )
+                    accepted = rd.from_arrow(accepted_tab)
+                    part_lineage += [
+                        {"round": rnd, "stage": "dedup", "partition": 0, "rows": c["after_dedup"]},
+                        {"round": rnd, "stage": "accepted", "partition": 0, "rows": c["accepted_new"]},
+                    ]
+                else:
+                    # Distributed path: ONE fused execution — explode -> dedup
+                    # shuffle (url_hash) -> robots+seen flags; every counter
+                    # derives from the single materialized output (per-round
+                    # intermediates are politeness-bounded, so this materialize is
+                    # bounded state, not a full-corpus pin).
+                    flagged = (
+                        parsed.map_batches(
+                            lambda t: _explode_links(t, cfg, rnd), batch_format="pyarrow"
+                        )
+                        .groupby("url_hash")
+                        .map_groups(_dedup_keep_min_n, batch_format="pandas")
+                        .map_batches(
+                            make_robots_seen_flagger(rules_ref, seen),
+                            batch_format="pyarrow", zero_copy_batch=True,
+                        )
+                        .materialize()
+                    )
+                    _frefs = flagged.to_arrow_refs()
+                    ftabs = [
+                        t for t in (ray.get(_frefs) if _frefs else [])
+                        if t.num_rows > 0 and t.num_columns > 0
+                    ]
+                    _pc = pa.compute
+                    c["after_dedup"] = sum(t.num_rows for t in ftabs)
+                    c["discovered"] = int(sum(_pc.sum(t["group_n"]).as_py() or 0 for t in ftabs))
+                    c["dup_within_round"] = c["discovered"] - c["after_dedup"]
+                    robots_ok_n = int(
+                        sum(_pc.sum(_pc.cast(t["robots_ok"], pa.int64())).as_py() or 0 for t in ftabs)
+                    )
+                    acc_per_tab = [
+                        int(_pc.sum(_pc.cast(_pc.and_(t["robots_ok"], t["is_new"]), pa.int64())).as_py() or 0)
+                        for t in ftabs
+                    ]
+                    c["skipped_robots"] = c["after_dedup"] - robots_ok_n
+                    c["accepted_new"] = sum(acc_per_tab)
+                    c["skipped_seen"] = robots_ok_n - c["accepted_new"]
+                    accepted = flagged.map_batches(
+                        _take_accepted, batch_format="pyarrow", zero_copy_batch=True
+                    )
+                    part_lineage += [
+                        {"round": rnd, "stage": "dedup", "partition": i, "rows": t.num_rows}
+                        for i, t in enumerate(ftabs)
+                    ] + [
+                        {"round": rnd, "stage": "accepted", "partition": i, "rows": n}
+                        for i, n in enumerate(acc_per_tab)
+                    ]
+
+                _lap("expand_dedup_seen")
+                # -- retries (I3) ---------------------------------------------
+                retry_tbl_rows = []
+                if c["transient_fail"]:
+                    for ref in failed.to_arrow_refs():
+                        ft = ray.get(ref)
+                        for i in range(ft.num_rows):
+                            att = ft["attempt"][i].as_py()
+                            if att + 1 <= cfg.retries:
+                                u = ft["url_norm"][i].as_py()
+                                retry_tbl_rows.append(
+                                    dict(url=u, url_norm=u,
+                                         url_hash=ft["url_hash"][i].as_py(),
+                                         host=ft["host"][i].as_py(),
+                                         depth=ft["depth"][i].as_py(),
+                                         priority=ft["priority"][i].as_py(),
+                                         parent_url="", seq=ft["seq"][i].as_py(),
+                                         attempt=att + 1, not_before_round=rnd + 1,
+                                         discovered_round=rnd)
+                                )
+                c["retry_exhausted"] = c["transient_fail"] - len(retry_tbl_rows)
+
+                # -- seen delta sink ------------------------------------------
+                sdir = os.path.join(out_dir, f"seen/round={rnd}")
+                os.makedirs(sdir, exist_ok=True)
+                if accepted_tab is not None:  # driver path: write directly
+                    pq.write_table(
+                        accepted_tab.select(["url_hash"]),
+                        os.path.join(sdir, "part-0.parquet"),
+                    )
+                else:
+                    accepted.select_columns(["url_hash"]).write_parquet(sdir)
+
+                # -- next frontier (S6) ---------------------------------------
+                nfdir = os.path.join(out_dir, f"frontier/round={rnd + 1}")
+                os.makedirs(nfdir, exist_ok=True)
+                next_frontier = carry_ds.union(deferred).union(accepted)
+                next_frontier = next_frontier.map_batches(
+                    _enforce_frontier_schema, batch_format="pyarrow", zero_copy_batch=True
+                )
+                if retry_tbl_rows:
+                    next_frontier = next_frontier.union(
+                        rd.from_arrow(_frontier_table(retry_tbl_rows))
+                    )
+                next_frontier.write_parquet(nfdir)
+                # carry + deferred == frontier - taken (no extra pass needed)
+                c["carryover"] = n_frontier - c["taken"]
+
+                _lap("frontier_write")
+                # -- lineage + success marker (S5): round-level counters plus
+                # per-partition rows-out for the major stages (B:L6 "every
+                # partition emits lineage ... to a checkpoint store") ----------
+                cdir = os.path.join(out_dir, f"ckpt/round={rnd}")
+                os.makedirs(cdir, exist_ok=True)
+                pq.write_table(
+                    pa.table({k: [v] for k, v in c.items()}),
+                    os.path.join(cdir, "lineage.parquet"),
+                )
+                if part_lineage:
+                    pq.write_table(
+                        pa.table(
+                            {
+                                "round": pa.array([r["round"] for r in part_lineage], pa.int32()),
+                                "stage": pa.array([r["stage"] for r in part_lineage], pa.string()),
+                                "partition": pa.array([r["partition"] for r in part_lineage], pa.int32()),
+                                "rows": pa.array([r["rows"] for r in part_lineage], pa.int64()),
+                            }
+                        ),
+                        os.path.join(cdir, "partition_lineage.parquet"),
+                    )
+                with open(os.path.join(cdir, "_SUCCESS"), "w") as f:
+                    f.write("ok\n")
+
+                counters_all.append(c)
+                summary["visits"] += c["fetched"]
+                summary["extracted"] += c["status_200"]
+
+                break
+            except ray.exceptions.RayError:
+                round_attempts += 1
+                if round_attempts >= 3:
+                    raise
+                rebuilt = seen.recover(lambda: _load_committed_hashes(out_dir))
+                summary["shard_recoveries"] = summary.get("shard_recoveries", 0) + rebuilt
 
     summary["counters"] = counters_all
     summary["seen_total"] = seen.total()

@@ -37,6 +37,26 @@ class SeenShard:
         self.cuckoo = CuckooFilter(capacity)
         self.exact: set[int] = set()
         self.cuckoo_full = False
+        # adds of the in-flight round — rolled back if the round must be
+        # re-executed after a peer shard dies (crash recovery, I4)
+        self.staged: set[int] = set()
+
+    def begin_round(self) -> int:
+        """Commit the previous round's staged adds (they are now covered
+        by a written seen-delta snapshot) and open a new staging scope."""
+        n = len(self.staged)
+        self.staged = set()
+        return n
+
+    def rollback_round(self) -> int:
+        """Undo this round's adds so an idempotent round re-execution sees
+        the same state the oracle would."""
+        for hv in self.staged:
+            self.exact.discard(hv)
+            self.cuckoo.delete(hv)
+        n = len(self.staged)
+        self.staged = set()
+        return n
 
     def contains_and_add(self, hashes: np.ndarray) -> np.ndarray:
         """Vector membership-test-then-insert. Returns keep mask (True =
@@ -45,10 +65,12 @@ class SeenShard:
         keep = np.zeros(len(h), dtype=bool)
         maybe = self.cuckoo.contains_many(h) | self.cuckoo_full
         exact = self.exact
+        staged = self.staged
         for i, (hv, m) in enumerate(zip(h.tolist(), maybe.tolist())):
             if m and hv in exact:
                 continue
             exact.add(hv)
+            staged.add(hv)
             if not self.cuckoo.add(hv):
                 self.cuckoo_full = True
             keep[i] = True
@@ -86,6 +108,7 @@ class SeenSet:
     def __init__(self, n_shards: int, capacity_per_shard: int = 1 << 20,
                  name_prefix: str | None = None) -> None:
         self.n_shards = n_shards
+        self.capacity = capacity_per_shard
         opts = {}
         self.shards = [
             SeenShard.options(
@@ -93,6 +116,31 @@ class SeenSet:
             ).remote(i, capacity_per_shard)
             for i in range(n_shards)
         ]
+
+    def begin_round(self) -> None:
+        ray.get([s.begin_round.remote() for s in self.shards])
+
+    def recover(self, completed_hashes_loader) -> int:
+        """Crash recovery (I4): roll back the in-flight round on surviving
+        shards; replace dead shards with fresh actors replayed from the
+        completed-round snapshots. `completed_hashes_loader()` must return
+        the full uint64 hash array of all COMMITTED rounds. Returns the
+        number of shards that had to be rebuilt."""
+        all_hashes = None
+        rebuilt = 0
+        for i, a in enumerate(self.shards):
+            try:
+                ray.get(a.rollback_round.remote())
+                continue
+            except Exception:
+                rebuilt += 1
+            if all_hashes is None:
+                all_hashes = np.asarray(completed_hashes_loader(), dtype=np.uint64)
+            fresh = SeenShard.remote(i, self.capacity)
+            mine = all_hashes[all_hashes % np.uint64(self.n_shards) == i]
+            ray.get(fresh.add_only.remote(mine))
+            self.shards[i] = fresh
+        return rebuilt
 
     def filter_batch(self, hashes: np.ndarray) -> np.ndarray:
         """Fan one batch of hashes out to shards; returns keep mask aligned

@@ -87,6 +87,23 @@ class CuckooFilter:
                 return True
         return False
 
+    def delete(self, h: int) -> bool:
+        """Remove one occurrence of h's fingerprint (standard cuckoo
+        deletion — correct when each item was inserted at most once, which
+        the exact-set guard in SeenShard ensures)."""
+        ha = np.array([h], dtype=np.uint64)
+        fp = int(self._fp(ha)[0])
+        i1 = int(self._i1(ha)[0])
+        i2 = int(self._alt(np.array([i1], dtype=np.uint64), np.array([fp], dtype=np.uint16))[0])
+        for i in (i1, i2):
+            row = self.table[i]
+            hits = np.flatnonzero(row == fp)
+            if hits.size:
+                row[hits[0]] = 0
+                self.count -= 1
+                return True
+        return False
+
     def add_many(self, hashes: np.ndarray) -> int:
         ok = 0
         for h in hashes:
