@@ -179,18 +179,20 @@ def _latest_snapshot(g: pd.DataFrame) -> pd.DataFrame:
     return g.loc[[g["warc_ts"].idxmax()]]
 
 
-def _parse_batch(t: pa.Table, page_callback=None) -> pa.Table:
-    """Fused M4+M5+M6: one HTML parse -> text + links (list column).
+def _parse_batch(t: pa.Table, page_callback=None, site_registry=None) -> pa.Table:
+    """Fused M4+M5+M6 (+M7): one HTML parse -> text + links (list column).
     `page_callback` is the X3 user hook: fn(url, text, links) -> dict|None,
-    surfaced as a `user_json` column (the per-page callback of the
-    reference's user API, minus `done()` — backpressure is the executor's
-    job)."""
+    surfaced as a `user_json` column. `site_registry` ({host: SiteConfig})
+    runs the declarative per-site extractors while html is still in hand,
+    emitting an `entities` list<string-json> column (M7/ST4)."""
     import json as _json
 
     htmls = t["html"].to_pylist()
     bases = t["url_norm"].to_pylist()
-    texts, links, userjs = [], [], []
+    texts, links, userjs, ents = [], [], [], []
     ep = core.extract_page
+    if site_registry:
+        from raycrawl.stages.site import extract_entities
     for html, base in zip(htmls, bases):
         text, ls = ep(html or b"", base or "")
         texts.append(text)
@@ -198,13 +200,42 @@ def _parse_batch(t: pa.Table, page_callback=None) -> pa.Table:
         if page_callback is not None:
             out = page_callback(base, text, ls)
             userjs.append(_json.dumps(out, sort_keys=True) if out is not None else None)
+        if site_registry:
+            scfg = site_registry.get(core.host_of(base))
+            if scfg is not None and html:
+                ents.append(
+                    [_json.dumps(e, sort_keys=True)
+                     for e in extract_entities(html, base, scfg)]
+                )
+            else:
+                ents.append([])
     t = t.drop_columns(["html"])  # html leaves the pipeline here
     if page_callback is not None:
         t = t.append_column("user_json", pa.array(userjs, pa.string()))
+    if site_registry:
+        t = t.append_column("entities", pa.array(ents, pa.list_(pa.string())))
     t = t.append_column("text", pa.array(texts, pa.string()))
     t = t.append_column("links", pa.array(links, pa.list_(pa.string())))
     n = pa.array([len(x) for x in links], pa.int32())
     return t.append_column("n_links", n)
+
+
+def _explode_entities(t: pa.Table, rnd: int) -> pa.Table:
+    """entities list column -> (url, site, entity_json, round) sink rows."""
+    out_url, out_site, out_json = [], [], []
+    for url, ents in zip(t["url_norm"].to_pylist(), t["entities"].to_pylist()):
+        for e in ents:
+            out_url.append(url)
+            out_site.append(core.host_of(url))
+            out_json.append(e)
+    return pa.table(
+        {
+            "url": pa.array(out_url, pa.string()),
+            "site": pa.array(out_site, pa.string()),
+            "entity_json": pa.array(out_json, pa.string()),
+            "round": pa.array([rnd] * len(out_url), pa.int32()),
+        }
+    )
 
 
 def _explode_links(t: pa.Table, cfg: CrawlConfig, rnd: int) -> pa.Table:
@@ -621,6 +652,7 @@ def run_crawl_ray(
                     )
                 fp = cfg.fail_permille
                 page_callback = cfg.extra.get("page_callback")
+                site_registry = cfg.extra.get("site_registry")
                 if fp > 0:
                     matched = matched.map_batches(
                         lambda t: _fail_flag_batch(t, fp), batch_format="pyarrow"
@@ -628,7 +660,7 @@ def run_crawl_ray(
                     ok = matched.filter(expr="fail == False").drop_columns(["fail"])
                     failed = matched.filter(expr="fail == True").drop_columns(["fail"])
                     parsed = ok.map_batches(
-                        lambda t: _parse_batch(t, page_callback),
+                        lambda t: _parse_batch(t, page_callback, site_registry),
                         batch_format="pyarrow", zero_copy_batch=True,
                         concurrency=cfg.extra.get("parse_concurrency", None),
                     ).materialize()
@@ -637,7 +669,7 @@ def run_crawl_ray(
                     # into ONE materialized execution
                     failed = None
                     parsed = matched.map_batches(
-                        lambda t: _parse_batch(t, page_callback),
+                        lambda t: _parse_batch(t, page_callback, site_registry),
                         batch_format="pyarrow", zero_copy_batch=True,
                         concurrency=cfg.extra.get("parse_concurrency", None),
                     ).materialize()
@@ -712,6 +744,14 @@ def run_crawl_ray(
                     batch_format="pyarrow",
                 )
                 extracted.write_parquet(edir)
+
+                if site_registry:
+                    # -- entities sink (M7/ST4 celitedev layer) -------
+                    endir = os.path.join(out_dir, f"entities/round={rnd}")
+                    os.makedirs(endir, exist_ok=True)
+                    parsed.map_batches(
+                        lambda t: _explode_entities(t, rnd), batch_format="pyarrow"
+                    ).write_parquet(endir)
 
                 _lap("sinks_visits_extracted")
                 # -- frontier expansion ---------------------------------------
