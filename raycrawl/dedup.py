@@ -128,6 +128,40 @@ def band_explode(t: pa.Table) -> pa.Table:
     )
 
 
+def band_explode_slim(t: pa.Table) -> pa.Table:
+    """Scale variant: (bkey, doc_id) only — the shuffle carries 16 bytes
+    per band row instead of a 16x-duplicated 512-byte signature.
+    Verification happens later against a bounded signature pull."""
+    doc_ids = t["doc_id"].to_pylist()
+    sigs = t["sig"].to_pylist()
+    out_doc, out_key = [], []
+    for d, sig in zip(doc_ids, sigs):
+        for b in range(_BANDS):
+            chunk = sig[b * _ROWS : (b + 1) * _ROWS]
+            out_doc.append(d)
+            out_key.append(_hash64(f"{b}:" + ",".join(map(str, chunk))))
+    return pa.table(
+        {
+            "doc_id": pa.array(out_doc, pa.int64()),
+            "bkey": pa.array(out_key, pa.uint64()),
+        }
+    )
+
+
+def _bucket_candidate_pairs(g: pd.DataFrame) -> pd.DataFrame:
+    """Within one band bucket: all candidate id pairs (a < b), capped per
+    bucket to bound pathological buckets."""
+    if len(g) < 2:
+        return pd.DataFrame({"a": [], "b": []}, dtype="int64")
+    ids = sorted(int(x) for x in g["doc_id"].unique())[:200]  # cap blowup
+    a_out, b_out = [], []
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            a_out.append(ids[i])
+            b_out.append(ids[j])
+    return pd.DataFrame({"a": a_out, "b": b_out}, dtype="int64")
+
+
 def _bucket_pairs(g: pd.DataFrame, threshold: float) -> pd.DataFrame:
     """Within one band bucket: verify candidate pairs by full-signature
     agreement (unbiased Jaccard estimate); emit pairs >= threshold."""
@@ -165,18 +199,53 @@ def _components_keep(all_ids: list[int], pairs: list[tuple[int, int]]) -> list[i
 
 
 def minhash_dedup(sf_dir: str, threshold: float = 0.7) -> pa.Table:
-    """Full MinHash-LSH dedup over documents: returns kept doc_ids."""
+    """Full MinHash-LSH dedup over documents: returns kept doc_ids.
+
+    Scale shape: signatures materialize once; the banding shuffle carries
+    only (bkey, doc_id); buckets emit candidate id pairs; verification
+    pulls ONLY the candidate signatures (bounded by true-duplicate
+    density, not corpus size) and checks signature agreement >= threshold.
+    """
     docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
-    sigs = docs.map_batches(minhash_batch, batch_format="pyarrow", zero_copy_batch=True)
-    banded = sigs.map_batches(band_explode, batch_format="pyarrow")
+    sigs = docs.map_batches(
+        minhash_batch, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    banded = sigs.map_batches(band_explode_slim, batch_format="pyarrow")
     pairs_ds = banded.groupby("bkey").map_groups(
-        lambda g: _bucket_pairs(g, threshold), batch_format="pandas"
+        _bucket_candidate_pairs, batch_format="pandas"
     )
     pairs = {  # dedup pair list (bands can emit the same pair many times)
         (int(r["a"]), int(r["b"])) for r in pairs_ds.take_all()
     }
-    all_ids = [r["doc_id"] for r in docs.select_columns(["doc_id"]).take_all()]
-    keep = _components_keep(all_ids, sorted(pairs))
+    all_ids: list[int] = []
+    if pairs:
+        cand_ids = {x for p in pairs for x in p}
+        cref = None
+        import ray as _ray
+
+        cref = _ray.put(cand_ids)
+
+        def pull_sigs(t: pa.Table) -> pa.Table:
+            wanted = _ray.get(cref)
+            mask = [i in wanted for i in t["doc_id"].to_pylist()]
+            return t.filter(pa.array(mask))
+
+        sig_by_id: dict[int, np.ndarray] = {}
+        for b in sigs.map_batches(
+            pull_sigs, batch_format="pyarrow", zero_copy_batch=True
+        ).iter_batches(batch_format="pyarrow"):
+            for i, s in zip(b["doc_id"].to_pylist(), b["sig"].to_pylist()):
+                sig_by_id[i] = np.asarray(s, dtype=np.uint64)
+        verified = [
+            (a, b)
+            for a, b in sorted(pairs)
+            if (sig_by_id[a] == sig_by_id[b]).mean() >= threshold
+        ]
+    else:
+        verified = []
+    for b in sigs.select_columns(["doc_id"]).iter_batches(batch_format="pyarrow"):
+        all_ids.extend(b["doc_id"].to_pylist())
+    keep = _components_keep(all_ids, verified)
     return pa.table({"doc_id": pa.array(keep, pa.int64())})
 
 

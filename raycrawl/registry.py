@@ -128,6 +128,10 @@ def build_queries() -> dict:
         # similarity search
         "ann_topk": similarity.ann_topk,
         "ann_topk_lsh": similarity.ann_topk_lsh,  # rows-only (approximate)
+        # sampling (O4; rows-only — seeded, deterministic per Ray version)
+        "sample_qa": lambda sf: __import__("ray.data", fromlist=["x"]).read_parquet(
+            sf + "/documents.parquet", columns=["doc_id"]
+        ).random_sample(0.1, seed=42),
         # sketches (rows-only: approximate by construction)
         "approx_distinct": lambda sf: __import__(
             "raycrawl.sketches", fromlist=["x"]
