@@ -46,10 +46,9 @@ import ray.data as rd
 
 from raycrawl import core
 from raycrawl.core import CrawlConfig
-from raycrawl.ops.url import canon_hash_host_batch
 from raycrawl.stages import politeness
-from raycrawl.stages.robots import crawl_delays, load_robots_rules, make_robots_filter
-from raycrawl.stages.seen import SeenSet, make_seen_filter
+from raycrawl.stages.robots import crawl_delays, load_robots_rules
+from raycrawl.stages.seen import SeenSet
 
 FRONTIER_SCHEMA = pa.schema(
     [
@@ -268,11 +267,6 @@ def _explode_links(t: pa.Table, cfg: CrawlConfig, rnd: int) -> pa.Table:
             out["not_before_round"].append(0)
             out["discovered_round"].append(rnd + 1)
     return pa.table({k: pa.array(v, FRONTIER_SCHEMA.field(k).type) for k, v in out.items()})
-
-
-def _dedup_keep_min(g: pd.DataFrame) -> pd.DataFrame:
-    """D1: keep the min (priority, seq) row per url_hash group."""
-    return g.sort_values(["priority", "seq"], kind="mergesort").head(1)
 
 
 def _dedup_keep_min_n(g: pd.DataFrame) -> pd.DataFrame:

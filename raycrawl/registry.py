@@ -138,6 +138,10 @@ def build_queries() -> dict:
         ).q_approx_distinct(sf),
         # multimodal plumbing (rows-only; decode stubbed)
         "media_features": multimodal.media_pipeline,
+        # composite training-data prep (rows-only; stage-wise oracle-covered)
+        "prep_corpus": lambda sf: __import__(
+            "raycrawl.pipelines.prep", fromlist=["x"]
+        ).prep_corpus(sf),
         # crawl engine (rows-only; oracle is pyref, asserted in pytest)
         "extract_text": q_extract_text,
         "crawl_visits": q_crawl_visits,
