@@ -449,19 +449,21 @@ def run_crawl_ray(
             # groupby is needed on the matched set. (Snapshot timestamps
             # are unique per url; a tie would be order-dependent in the
             # reference semantics too.)
+            # Only multi-snapshot urls (~5%) need filtering — broadcast just
+            # {dup_url: max_ts}, not a corpus-sized pair set.
             kt = pq.read_table(pages_path, columns=["url", "warc_ts"])
             kdf = kt.to_pandas()
-            latest = kdf.groupby("url")["warc_ts"].transform("max")
-            keep_pairs = set(
-                zip(kdf.loc[kdf["warc_ts"] == latest, "url"],
-                    kdf.loc[kdf["warc_ts"] == latest, "warc_ts"])
-            )
-            keep_ref = ray.put(keep_pairs)
+            counts = kdf.groupby("url")["url"].transform("size")
+            dups = kdf[counts > 1]
+            dup_max = dups.groupby("url")["warc_ts"].max().to_dict()
+            keep_ref = ray.put(dup_max)
 
             def _latest_filter(t: pa.Table) -> pa.Table:
-                pairs = ray.get(keep_ref)
+                dmax = ray.get(keep_ref)
+                if not dmax:
+                    return t
                 mask = [
-                    (u, ts) in pairs
+                    (m := dmax.get(u)) is None or ts == m
                     for u, ts in zip(t["url"].to_pylist(), t["warc_ts"].to_pandas())
                 ]
                 return t.filter(pa.array(mask))
