@@ -261,7 +261,13 @@ def run_scaling(args) -> dict:
     lo = statistics.median(samples[args.cpus_low])
     hi = statistics.median(samples[args.cpus_high])
     factor = args.cpus_high / args.cpus_low
-    eff = (hi / lo) / factor
+    # Per-trial (time-paired) ratios: each trial's low/high runs are
+    # adjacent in time, so co-tenant noise windows partially cancel —
+    # more robust than ratio-of-medians on this ±30%-noise host.
+    ratios = [
+        h / l for l, h in zip(samples[args.cpus_low], samples[args.cpus_high])
+    ]
+    eff = statistics.median(ratios) / factor
     return {
         "metric": "scaling_efficiency",
         "value": round(eff, 3),
