@@ -29,7 +29,7 @@ import time
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
-BENCH_CORPUS = "/tmp/raycrawl_bench_corpus"
+BENCH_CORPUS = "/tmp/raycrawl_bench_corpus_v2"  # suffix = gen_corpus.GEN_VERSION
 BENCH_HOSTS = 200
 BENCH_PAGES = 100_000
 

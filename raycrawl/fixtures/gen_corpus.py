@@ -36,6 +36,9 @@ NONASCII = {"latin-1": " café naïve über résumé.", "gbk": " 中文测试文
 
 BASE_TS_US = 1_700_000_000_000_000  # fixed epoch anchor (us)
 
+# bump whenever generated CONTENT or layout changes — cache dirs embed it
+GEN_VERSION = 2
+
 
 def _h(*parts) -> int:
     """Order-independent seeded hash -> uint64."""

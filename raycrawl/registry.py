@@ -21,10 +21,10 @@ from raycrawl import multimodal, relational, similarity, textproc
 
 def _smoke_corpus_dir(sf_dir: str) -> str:
     """Deterministic cached crawl corpus, sized by the sf level."""
-    from raycrawl.fixtures.gen_corpus import generate
+    from raycrawl.fixtures.gen_corpus import GEN_VERSION, generate
 
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    out = f"/tmp/raycrawl_fixture_{tag}"
+    out = f"/tmp/raycrawl_fixture_v{GEN_VERSION}_{tag}"
     if not os.path.exists(os.path.join(out, "pages.parquet")):
         generate(out, n_hosts=20, n_pages=1000, seed=42)
     return out
