@@ -12,9 +12,7 @@ import hashlib
 import os
 import re
 
-import numpy as np
 import pyarrow as pa
-import pyarrow.compute as pc
 import ray.data as rd
 
 _WORD_RE = re.compile(r"\w+|[^\w\s]", re.UNICODE)
