@@ -399,6 +399,7 @@ def child_seq(parent_seq: int, link_index: int) -> int:
 class CrawlConfig:
     max_rounds: int = 3
     max_depth: int = 8
+    max_pages: int = 0  # I5: stop before a round once visits >= budget (0 = off)
     priority_default: int = 5
     rate_limit_ms: int = 0
     round_duration_ms: int = 60_000

@@ -482,6 +482,8 @@ def run_crawl_ray(
         fdir = os.path.join(out_dir, f"frontier/round={rnd}")
         if not os.path.isdir(fdir):
             break
+        if cfg.max_pages and summary["visits"] >= cfg.max_pages:
+            break  # I5 page-budget stop (same round-granular rule as pyref)
         # partitioning=None: don't infer a hive `round` column from the dir name
         frontier_ds = rd.read_parquet(fdir, partitioning=None)
         n_frontier = frontier_ds.count()

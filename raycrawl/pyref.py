@@ -101,8 +101,11 @@ def run_crawl(
             FrontierRow(url, norm, h, core.host_of(norm), 0, cfg.priority_default, "", rank)
         )
 
+    total_visits = 0
     for rnd in range(cfg.max_rounds):
         if not frontier:
+            break
+        if cfg.max_pages and total_visits >= cfg.max_pages:
             break
         res.rounds_run = rnd + 1
         counters = {
@@ -219,6 +222,7 @@ def run_crawl(
             accepted.append(r)
 
         frontier = carry + deferred + retries_next + accepted
+        total_visits += counters["fetched"]
         res.counters.append(counters)
 
     return res

@@ -59,3 +59,10 @@ def test_join_fetch_strategy_equivalence(ray_session, smoke_corpus, tmp_path):
         max_rounds=2, seen_shards=4, extra={"fetch_strategy": "join"}
     )
     _run_and_compare(smoke_corpus, tmp_path, cfg, "joinfetch")
+
+
+def test_max_pages_budget(ray_session, smoke_corpus, tmp_path):
+    """I5 page-budget stop: both engines stop before the round that would
+    exceed the budget — equivalently."""
+    cfg = CrawlConfig(max_rounds=5, seen_shards=2, max_pages=20)
+    _run_and_compare(smoke_corpus, tmp_path, cfg, "budget")
