@@ -499,6 +499,14 @@ def run_crawl_ray(
                 if chaos is not None and chaos[0] == rnd and round_attempts == 0:
                     # fault injection (tests): kill a seen shard mid-round
                     ray.kill(seen.shards[chaos[1]], no_restart=True)
+                    # ray.kill is async: wait for actual death so the
+                    # fault reliably fires inside this round
+                    for _ in range(100):
+                        try:
+                            ray.get(seen.shards[chaos[1]].size.remote(), timeout=2)
+                            time.sleep(0.1)
+                        except Exception:
+                            break
                 c = {"round": rnd, "frontier_in": n_frontier}
                 _t = time.perf_counter()
 

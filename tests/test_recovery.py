@@ -65,6 +65,16 @@ def test_dead_shard_replay(ray_session):
     seen.replay(committed)
     seen.begin_round()
     ray.kill(seen.shards[0], no_restart=True)
+    # ray.kill is async — wait until the actor is actually dead, else the
+    # next RPC can still succeed and recover() sees a healthy shard
+    import time
+
+    for _ in range(100):
+        try:
+            ray.get(seen.shards[0].size.remote(), timeout=2)
+            time.sleep(0.1)
+        except Exception:
+            break
     rebuilt = seen.recover(lambda: committed)
     assert rebuilt == 1
     # all committed hashes still seen; new ones still novel
