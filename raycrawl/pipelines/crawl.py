@@ -40,6 +40,7 @@ import time
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import ray
 import ray.data as rd
@@ -76,6 +77,24 @@ VISIT_SCHEMA = pa.schema(
         ("status", pa.int32()),
     ]
 )
+
+
+def _visit_rows_batch(t: pa.Table, rnd: int, status: int, uas: tuple) -> pa.Table:
+    """Frontier-shaped rows -> visit-sink rows (M12 UA rotation included)."""
+    n = t.num_rows
+    return pa.table(
+        {
+            "url": t["url_norm"].cast(pa.string()),
+            "round": pa.array([rnd] * n, pa.int32()),
+            "priority": t["priority"].cast(pa.int32()),
+            "host": t["host"].cast(pa.string()),
+            "seq": t["seq"].cast(pa.int64()),
+            "status": pa.array([status] * n, pa.int32()),
+            "user_agent": pa.array(
+                [uas[s % len(uas)] for s in t["seq"].to_pylist()], pa.string()
+            ),
+        }
+    )
 
 
 def _block_row_counts(mat_ds) -> list[int]:
@@ -135,42 +154,58 @@ def seeds_to_frontier(seed_urls: list[str], cfg: CrawlConfig,
     return _frontier_table(rows), hashes
 
 
+_FETCH_COLS = (
+    "url_norm", "url_hash", "host", "depth", "priority", "seq", "attempt",
+    "parent_url", "discovered_round",
+)
+
+
+def _fetch_table(tabs: list[pa.Table]) -> pa.Table:
+    """Round fetch set as ONE typed Arrow table (url_norm-keyed). Bounded by
+    the politeness budget; broadcast via ray.put, never re-shipped per batch.
+    The frontier's RAW url rides along as `url_raw` (the corpus scan owns
+    the `url` name) so retry rows can preserve it, matching pyref."""
+    sel = list(_FETCH_COLS) + ["url"]
+    renamed = list(_FETCH_COLS) + ["url_raw"]
+    parts = [
+        t.select(sel).rename_columns(renamed) for t in tabs if t.num_rows
+    ]
+    if not parts:
+        return FRONTIER_SCHEMA.empty_table().select(sel).rename_columns(renamed)
+    t = pa.concat_tables(parts, promote_options="default")
+    cols = {c: t[c].cast(FRONTIER_SCHEMA.field(c).type) for c in _FETCH_COLS}
+    cols["url_raw"] = t["url_raw"].cast(pa.string())
+    return pa.table(cols)
+
+
 class _AttachFrontier:
     """Corpus-scan stage: keep rows whose url is in the broadcast fetch
-    set; attach the frontier columns. The fetch dict ships via ray.put
-    once and is fetched in __init__ once per actor — never per batch."""
+    set; attach the frontier columns. The fetch table ships via ray.put
+    once and is fetched in __init__ once per actor — never per batch.
+    Lookup is a single vectorized index_in + take (no Python row loop)."""
 
     def __init__(self, fetch_ref) -> None:
-        self.fetch = ray.get(fetch_ref) if isinstance(fetch_ref, ray.ObjectRef) else fetch_ref
+        ft = ray.get(fetch_ref) if isinstance(fetch_ref, ray.ObjectRef) else fetch_ref
+        self.ftab = ft
+        self.keys = ft["url_norm"].combine_chunks()
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        urls = t["url"].to_pylist()
-        keep = [u in self.fetch for u in urls]
-        sub = t.filter(pa.array(keep))
+        idx = pc.index_in(t["url"], value_set=self.keys)
+        valid = pc.is_valid(idx)
+        sub = t.filter(valid)
         if sub.num_rows == 0:
             return _empty_matched(t)
-        info = [self.fetch[u] for u in sub["url"].to_pylist()]
-        cols = dict(zip(("url_norm", "url_hash", "host", "depth", "priority", "seq", "attempt"),
-                        zip(*info)))
-        sub = sub.append_column("url_norm", pa.array(cols["url_norm"], pa.string()))
-        sub = sub.append_column("url_hash", pa.array(cols["url_hash"], pa.uint64()))
-        sub = sub.append_column("host", pa.array(cols["host"], pa.string()))
-        sub = sub.append_column("depth", pa.array(cols["depth"], pa.int32()))
-        sub = sub.append_column("priority", pa.array(cols["priority"], pa.int32()))
-        sub = sub.append_column("seq", pa.array(cols["seq"], pa.int64()))
-        sub = sub.append_column("attempt", pa.array(cols["attempt"], pa.int32()))
+        pos = idx.filter(valid)
+        for name in self.ftab.column_names:
+            sub = sub.append_column(name, self.ftab[name].take(pos))
         return sub
 
 
 def _empty_matched(t: pa.Table) -> pa.Table:
     base = t.slice(0, 0)
-    for name, typ in [
-        ("url_norm", pa.string()), ("url_hash", pa.uint64()), ("host", pa.string()),
-        ("depth", pa.int32()), ("priority", pa.int32()), ("seq", pa.int64()),
-        ("attempt", pa.int32()),
-    ]:
-        base = base.append_column(name, pa.array([], typ))
-    return base
+    for name in _FETCH_COLS:
+        base = base.append_column(name, pa.array([], FRONTIER_SCHEMA.field(name).type))
+    return base.append_column("url_raw", pa.array([], pa.string()))
 
 
 def _latest_snapshot(g: pd.DataFrame) -> pd.DataFrame:
@@ -309,6 +344,35 @@ def make_robots_seen_flagger(rules_ref, seen):
     return flag
 
 
+def _flag_block_stats(t: pa.Table) -> pa.Table:
+    """One stats row per flagged block: the scale-path round counters are
+    reduced cluster-side so the candidate frontier never reaches the
+    driver. (Ray skips map UDFs on empty blocks, so zero-column artifacts
+    simply contribute no stat row; the guard covers direct calls.)"""
+    if t.num_rows == 0 or "is_new" not in t.column_names:
+        return pa.table(
+            {
+                "rows": pa.array([], pa.int64()),
+                "group_n_sum": pa.array([], pa.int64()),
+                "robots_ok_n": pa.array([], pa.int64()),
+                "accepted_n": pa.array([], pa.int64()),
+            }
+        )
+    acc = pc.sum(pc.cast(pc.and_(t["robots_ok"], t["is_new"]), pa.int64())).as_py() or 0
+    return pa.table(
+        {
+            "rows": pa.array([t.num_rows], pa.int64()),
+            "group_n_sum": pa.array(
+                [pc.sum(pc.cast(t["group_n"], pa.int64())).as_py() or 0], pa.int64()
+            ),
+            "robots_ok_n": pa.array(
+                [pc.sum(pc.cast(t["robots_ok"], pa.int64())).as_py() or 0], pa.int64()
+            ),
+            "accepted_n": pa.array([acc], pa.int64()),
+        }
+    )
+
+
 def _take_accepted(t: pa.Table) -> pa.Table:
     if t.num_rows == 0 or "is_new" not in t.column_names:
         return FRONTIER_SCHEMA.empty_table()
@@ -344,13 +408,24 @@ def _cleanup_round_dirs(out_dir: str, rnd: int) -> None:
 
 
 def _load_committed_hashes(out_dir: str) -> np.ndarray:
-    """All url_hashes from committed seen-delta snapshots (bootstrap +
-    completed rounds) — the replay source for rebuilding a dead shard."""
+    """All url_hashes from COMMITTED seen-delta snapshots — the replay
+    source for rebuilding a dead shard. A round's delta counts only once
+    its ckpt/_SUCCESS marker exists: the in-flight round writes its delta
+    BEFORE the marker, and replaying those uncommitted hashes would flag
+    the re-executed round's URLs as already-seen (oracle divergence).
+    round=bootstrap (the seed hashes) is always committed."""
     import glob as _glob
+
+    def _committed(d: str) -> bool:
+        rnd = os.path.basename(os.path.dirname(d)).split("=", 1)[1]
+        if rnd == "bootstrap":
+            return True
+        return os.path.exists(os.path.join(out_dir, f"ckpt/round={rnd}", "_SUCCESS"))
 
     tabs = [
         pq.read_table(f)
         for f in sorted(_glob.glob(os.path.join(out_dir, "seen/round=*/*.parquet")))
+        if _committed(f)
     ]
     tabs = [t for t in tabs if t.num_rows]
     if not tabs:
@@ -455,28 +530,51 @@ def run_crawl_ray(
             kdf = kt.to_pandas()
             counts = kdf.groupby("url")["url"].transform("size")
             dups = kdf[counts > 1]
-            dup_max = dups.groupby("url")["warc_ts"].max().to_dict()
-            keep_ref = ray.put(dup_max)
-
-            def _latest_filter(t: pa.Table) -> pa.Table:
-                dmax = ray.get(keep_ref)
-                if not dmax:
-                    return t
-                mask = [
-                    (m := dmax.get(u)) is None or ts == m
-                    for u, ts in zip(t["url"].to_pylist(), t["warc_ts"].to_pandas())
-                ]
-                return t.filter(pa.array(mask))
-
-            corpus_cached = (
-                rd.read_parquet(pages_path, columns=["url", "warc_ts", "html"])
-                .map_batches(_latest_filter, batch_format="pyarrow", zero_copy_batch=True)
-                .materialize()
+            dup_max = dups.groupby("url")["warc_ts"].max()
+            # ties at the max ts would make "ts == max" keep >1 row per url,
+            # diverging from pyref's single snapshot_pick winner — fall back
+            # to the per-round groupby pick (cache the raw corpus only).
+            ts_ties = bool(
+                len(dups)
+                and dups.set_index("url")["warc_ts"].eq(dup_max).groupby(level=0).sum().gt(1).any()
             )
-            corpus_is_latest = True
+            if ts_ties:
+                corpus_cached = rd.read_parquet(
+                    pages_path, columns=["url", "warc_ts", "html"]
+                ).materialize()
+            else:
+                dmax_dict = dup_max.to_dict()
+                keep_ref = ray.put(dmax_dict)
+
+                def _latest_filter(t: pa.Table) -> pa.Table:
+                    dmax = ray.get(keep_ref)
+                    if not dmax:
+                        return t
+                    mask = [
+                        (m := dmax.get(u)) is None or ts == m
+                        for u, ts in zip(t["url"].to_pylist(), t["warc_ts"].to_pandas())
+                    ]
+                    return t.filter(pa.array(mask))
+
+                corpus_cached = (
+                    rd.read_parquet(pages_path, columns=["url", "warc_ts", "html"])
+                    .map_batches(_latest_filter, batch_format="pyarrow", zero_copy_batch=True)
+                    .materialize()
+                )
+                corpus_is_latest = True
 
     summary = {"rounds_run": 0, "visits": 0, "extracted": 0, "resumed_at": start_round}
     counters_all: list[dict] = []
+    if start_round > 0:
+        # I5 x I4: the page budget counts COMMITTED rounds too — seed the
+        # visit counter from their lineage so a crashed-then-resumed crawl
+        # stops at the same round an uninterrupted run (and pyref) would.
+        for r in done_rounds:
+            lp = os.path.join(out_dir, f"ckpt/round={r}", "lineage.parquet")
+            if os.path.exists(lp):
+                lt = pq.read_table(lp, columns=["fetched"])
+                summary["visits"] += int(lt["fetched"][0].as_py() or 0)
+        summary["rounds_run"] = start_round
 
     for rnd in range(start_round, cfg.max_rounds):
         fdir = os.path.join(out_dir, f"frontier/round={rnd}")
@@ -579,7 +677,9 @@ def run_crawl_ray(
                 corpus = corpus_cached if corpus_cached is not None else rd.read_parquet(
                     pages_path, columns=["url", "warc_ts", "html"]
                 )
-                miss_rows: list[dict] = []
+                fetch_tbl = None  # broadcast-path fetch set (politeness-bounded)
+                miss_visits = None  # join-path 404 visits (stays a Dataset)
+                uas = cfg.user_agents
                 if fetch_strategy == "join":
                     # Distributed hash join (for fetch sets too large to broadcast):
                     # LEFT OUTER so 404 misses fall out of the same single shuffle.
@@ -595,49 +695,36 @@ def run_crawl_ray(
                         on=("url_norm",), right_on=("url",),
                     )
                     # after the join `url` is the frontier's RAW form; downstream
-                    # keys on the corpus url == url_norm, so rewrite it.
+                    # keys on the corpus url == url_norm, so park the raw form
+                    # in url_raw (retries preserve it, pyref parity) + rewrite.
                     joined = joined.map_batches(
-                        lambda t: t.set_column(
+                        lambda t: t.append_column("url_raw", t["url"]).set_column(
                             t.schema.get_field_index("url"), "url", t["url_norm"]
                         ),
                         batch_format="pyarrow",
                         zero_copy_batch=True,
                     ).materialize()
                     matched = joined.map_batches(
-                        lambda t: t.filter(pa.compute.is_valid(t["html"])),
+                        lambda t: t.filter(pc.is_valid(t["html"])),
                         batch_format="pyarrow", zero_copy_batch=True,
                     )
-                    missed_ds = joined.map_batches(
-                        lambda t: t.filter(pa.compute.is_null(t["html"])),
+                    # Misses -> 404 visit rows WITHOUT leaving the cluster: on
+                    # this (scale) path the miss set stays a Dataset end-to-end
+                    # and is written by the visits sink below. (Bounded
+                    # materialize: misses <= the politeness-bounded taken set.)
+                    miss_visits = joined.map_batches(
+                        lambda t: _visit_rows_batch(
+                            t.filter(pc.is_null(t["html"])), rnd, 404, uas
+                        ),
                         batch_format="pyarrow", zero_copy_batch=True,
-                    )
-                    for b in missed_ds.select_columns(
-                        ["url_norm", "priority", "host", "seq"]
-                    ).iter_batches(batch_format="pyarrow"):
-                        for u, p, ho, s in zip(
-                            b["url_norm"].to_pylist(), b["priority"].to_pylist(),
-                            b["host"].to_pylist(), b["seq"].to_pylist(),
-                        ):
-                            miss_rows.append(
-                                {"url": u, "round": rnd, "priority": p, "host": ho,
-                                 "seq": s, "status": 404}
-                            )
+                    ).materialize()
                 else:
-                    # Broadcast fetch set: ship {url_norm -> frontier fields} once
-                    # via ray.put; the corpus scan filters per batch. value tuple:
-                    # (url_norm, url_hash, host, depth, priority, seq, attempt)
-                    fetch_map = {}
-                    for r in taken_refs:
-                        tt = ray.get(r)
-                        for n, h, ho, d, p, s, a in zip(
-                            tt["url_norm"].to_pylist(), tt["url_hash"].to_pylist(),
-                            tt["host"].to_pylist(), tt["depth"].to_pylist(),
-                            tt["priority"].to_pylist(), tt["seq"].to_pylist(),
-                            tt["attempt"].to_pylist(),
-                        ):
-                            fetch_map[n] = (n, h, ho, d, p, s, a)
-                    fetch_ref = ray.put(fetch_map)
-                    if len(fetch_map) > cfg.extra.get("fetch_actor_threshold", 500_000):
+                    # Broadcast fetch set: ship the typed (url_norm-keyed)
+                    # frontier table once via ray.put; the corpus scan does a
+                    # vectorized index_in lookup per batch.
+                    fetch_tbl = _fetch_table(_all_tabs)
+                    fetch_ref = ray.put(fetch_tbl)
+                    if fetch_tbl.num_rows > cfg.extra.get("fetch_actor_threshold", 500_000):
                         # big fetch set: actor pool amortizes the dict deserialize
                         matched = corpus.map_batches(
                             _AttachFrontier, fn_constructor_args=(fetch_ref,),
@@ -689,51 +776,44 @@ def run_crawl_ray(
                 ]
 
                 if fetch_strategy != "join":
-                    # -- misses -> 404 (J2, broadcast mode) -------------------
-                    matched_urls = set()
-                    for b in matched.select_columns(["url"]).iter_batches(batch_format="pyarrow"):
-                        matched_urls.update(b["url"].to_pylist())
-                    miss_rows = [
-                        {"url": u, "round": rnd, "priority": v[4], "host": v[2],
-                         "seq": v[5], "status": 404}
-                        for u, v in fetch_map.items() if u not in matched_urls
+                    # -- misses -> 404 (J2, broadcast mode): vectorized anti
+                    # set-membership against the matched urls. Driver-side by
+                    # design on this path — bounded by the politeness budget.
+                    uarrs = [
+                        b["url"].combine_chunks()
+                        for b in matched.select_columns(["url"]).iter_batches(
+                            batch_format="pyarrow"
+                        )
+                        if b.num_rows
                     ]
-                c["status_404"] = len(miss_rows)
+                    mset = (
+                        pa.concat_arrays(uarrs) if uarrs else pa.array([], pa.string())
+                    )
+                    miss_tbl = fetch_tbl.filter(
+                        pc.invert(pc.is_in(fetch_tbl["url_norm"], value_set=mset))
+                    )
+                    c["status_404"] = miss_tbl.num_rows
+                else:
+                    miss_tbl = None
+                    c["status_404"] = miss_visits.count()
                 c["fetched"] = c["status_200"] + c["status_404"]
 
                 _lap("fetch_parse")
                 # -- visits sink ----------------------------------------------
                 vdir = os.path.join(out_dir, f"visits/round={rnd}")
                 os.makedirs(vdir, exist_ok=True)
-                uas = cfg.user_agents
                 visit_ok = parsed.map_batches(
-                    lambda t: pa.table(
-                        {
-                            "url": t["url_norm"].cast(pa.string()),
-                            "round": pa.array([rnd] * t.num_rows, pa.int32()),
-                            "priority": t["priority"].cast(pa.int32()),
-                            "host": t["host"].cast(pa.string()),
-                            "seq": t["seq"].cast(pa.int64()),
-                            "status": pa.array([200] * t.num_rows, pa.int32()),
-                            # M12 deterministic UA rotation: ua_list[seq % len]
-                            "user_agent": pa.array(
-                                [uas[s % len(uas)] for s in t["seq"].to_pylist()], pa.string()
-                            ),
-                        }
-                    ),
+                    lambda t: _visit_rows_batch(t, rnd, 200, uas),
                     batch_format="pyarrow",
                 )
                 visit_ok.write_parquet(vdir)
-                if miss_rows:
-                    mt = pa.table(
-                        {k: pa.array([r[k] for r in miss_rows], VISIT_SCHEMA.field(k).type)
-                         for k in VISIT_SCHEMA.names}
+                if miss_visits is not None:  # join path: distributed sink
+                    miss_visits.write_parquet(vdir)
+                elif miss_tbl is not None and miss_tbl.num_rows:
+                    pq.write_table(
+                        _visit_rows_batch(miss_tbl, rnd, 404, uas),
+                        os.path.join(vdir, "misses.parquet"),
                     )
-                    mt = mt.append_column(
-                        "user_agent",
-                        pa.array([uas[r["seq"] % len(uas)] for r in miss_rows], pa.string()),
-                    )
-                    pq.write_table(mt, os.path.join(vdir, "misses.parquet"))
 
                 # -- extracted sink (S4) --------------------------------------
                 edir = os.path.join(out_dir, f"extracted/round={rnd}")
@@ -825,57 +905,72 @@ def run_crawl_ray(
                         )
                         .materialize()
                     )
-                    _frefs = flagged.to_arrow_refs()
-                    ftabs = [
-                        t for t in (ray.get(_frefs) if _frefs else [])
-                        if t.num_rows > 0 and t.num_columns > 0
-                    ]
-                    _pc = pa.compute
-                    c["after_dedup"] = sum(t.num_rows for t in ftabs)
-                    c["discovered"] = int(sum(_pc.sum(t["group_n"]).as_py() or 0 for t in ftabs))
+                    # Counters + per-partition lineage from a ONE-ROW-PER-BLOCK
+                    # stats pass — the deduped frontier (url strings included)
+                    # never lands on the driver; only #blocks tiny stat rows do.
+                    stat_rows = flagged.map_batches(
+                        _flag_block_stats, batch_format="pyarrow", zero_copy_batch=True
+                    ).take_all()
+                    c["after_dedup"] = int(sum(r["rows"] for r in stat_rows))
+                    c["discovered"] = int(sum(r["group_n_sum"] for r in stat_rows))
                     c["dup_within_round"] = c["discovered"] - c["after_dedup"]
-                    robots_ok_n = int(
-                        sum(_pc.sum(_pc.cast(t["robots_ok"], pa.int64())).as_py() or 0 for t in ftabs)
-                    )
-                    acc_per_tab = [
-                        int(_pc.sum(_pc.cast(_pc.and_(t["robots_ok"], t["is_new"]), pa.int64())).as_py() or 0)
-                        for t in ftabs
-                    ]
+                    robots_ok_n = int(sum(r["robots_ok_n"] for r in stat_rows))
                     c["skipped_robots"] = c["after_dedup"] - robots_ok_n
-                    c["accepted_new"] = sum(acc_per_tab)
+                    c["accepted_new"] = int(sum(r["accepted_n"] for r in stat_rows))
                     c["skipped_seen"] = robots_ok_n - c["accepted_new"]
                     accepted = flagged.map_batches(
                         _take_accepted, batch_format="pyarrow", zero_copy_batch=True
                     )
                     part_lineage += [
-                        {"round": rnd, "stage": "dedup", "partition": i, "rows": t.num_rows}
-                        for i, t in enumerate(ftabs)
+                        {"round": rnd, "stage": "dedup", "partition": i, "rows": r["rows"]}
+                        for i, r in enumerate(stat_rows)
                     ] + [
-                        {"round": rnd, "stage": "accepted", "partition": i, "rows": n}
-                        for i, n in enumerate(acc_per_tab)
+                        {"round": rnd, "stage": "accepted", "partition": i,
+                         "rows": r["accepted_n"]}
+                        for i, r in enumerate(stat_rows)
                     ]
 
                 _lap("expand_dedup_seen")
-                # -- retries (I3) ---------------------------------------------
-                retry_tbl_rows = []
+                # -- retries (I3): vectorized column rebuild, preserving the
+                # original url / parent_url / discovered_round (pyref parity).
+                # Bounded driver pull: failures are a slice of the taken set.
+                retry_tabs: list[pa.Table] = []
                 if c["transient_fail"]:
                     for ref in failed.to_arrow_refs():
                         ft = ray.get(ref)
-                        for i in range(ft.num_rows):
-                            att = ft["attempt"][i].as_py()
-                            if att + 1 <= cfg.retries:
-                                u = ft["url_norm"][i].as_py()
-                                retry_tbl_rows.append(
-                                    dict(url=u, url_norm=u,
-                                         url_hash=ft["url_hash"][i].as_py(),
-                                         host=ft["host"][i].as_py(),
-                                         depth=ft["depth"][i].as_py(),
-                                         priority=ft["priority"][i].as_py(),
-                                         parent_url="", seq=ft["seq"][i].as_py(),
-                                         attempt=att + 1, not_before_round=rnd + 1,
-                                         discovered_round=rnd)
-                                )
-                c["retry_exhausted"] = c["transient_fail"] - len(retry_tbl_rows)
+                        if ft.num_rows == 0 or "attempt" not in ft.column_names:
+                            continue
+                        sub = ft.filter(
+                            pc.less_equal(pc.add(ft["attempt"], 1), cfg.retries)
+                        )
+                        if sub.num_rows == 0:
+                            continue
+                        n = sub.num_rows
+                        names = sub.column_names
+                        raw = sub["url_raw"] if "url_raw" in names else sub["url_norm"]
+                        parent = (
+                            sub["parent_url"] if "parent_url" in names
+                            else pa.array([""] * n, pa.string())
+                        )
+                        disc = (
+                            sub["discovered_round"] if "discovered_round" in names
+                            else pa.array([rnd] * n, pa.int32())
+                        )
+                        retry_tabs.append(pa.table({
+                            "url": raw.cast(pa.string()),
+                            "url_norm": sub["url_norm"].cast(pa.string()),
+                            "url_hash": sub["url_hash"].cast(pa.uint64()),
+                            "host": sub["host"].cast(pa.string()),
+                            "depth": sub["depth"].cast(pa.int32()),
+                            "priority": sub["priority"].cast(pa.int32()),
+                            "parent_url": parent.cast(pa.string()),
+                            "seq": sub["seq"].cast(pa.int64()),
+                            "attempt": pc.cast(pc.add(sub["attempt"], 1), pa.int32()),
+                            "not_before_round": pa.array([rnd + 1] * n, pa.int32()),
+                            "discovered_round": disc.cast(pa.int32()),
+                        }))
+                n_retries = sum(t.num_rows for t in retry_tabs)
+                c["retry_exhausted"] = c["transient_fail"] - n_retries
 
                 # -- seen delta sink ------------------------------------------
                 sdir = os.path.join(out_dir, f"seen/round={rnd}")
@@ -895,9 +990,13 @@ def run_crawl_ray(
                 next_frontier = next_frontier.map_batches(
                     _enforce_frontier_schema, batch_format="pyarrow", zero_copy_batch=True
                 )
-                if retry_tbl_rows:
+                if retry_tabs:
                     next_frontier = next_frontier.union(
-                        rd.from_arrow(_frontier_table(retry_tbl_rows))
+                        rd.from_arrow(
+                            _enforce_frontier_schema(
+                                pa.concat_tables(retry_tabs, promote_options="default")
+                            )
+                        )
                     )
                 next_frontier.write_parquet(nfdir)
                 # carry + deferred == frontier - taken (no extra pass needed)

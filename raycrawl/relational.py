@@ -258,17 +258,16 @@ def q_broadcast_join(sf_dir: str):
     import pyarrow.parquet as pq_mod
 
     nat = pq_mod.read_table(os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_name"])
-    mapping = dict(zip(nat["n_nationkey"].to_pylist(), nat["n_name"].to_pylist()))
-    ref = ray.put(mapping)
+    ref = ray.put((nat["n_nationkey"].combine_chunks(), nat["n_name"].combine_chunks()))
 
     class Attach:
         def __init__(self, r):
-            self.m = ray.get(r) if isinstance(r, ray.ObjectRef) else r
+            self.keys, self.names = ray.get(r) if isinstance(r, ray.ObjectRef) else r
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            names = [self.m.get(k) for k in t["c_nationkey"].to_pylist()]
+            pos = pc.index_in(t["c_nationkey"], value_set=self.keys)
             return pa.table(
-                {"c_custkey": t["c_custkey"], "n_name": pa.array(names, pa.string())}
+                {"c_custkey": t["c_custkey"], "n_name": self.names.take(pos)}
             )
 
     return _pq(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
@@ -374,16 +373,24 @@ def q_pipeline_topk(sf_dir: str):
     cust = pq_mod.read_table(
         os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_mktsegment"]
     )
-    building = set(
-        cust.filter(pc.equal(cust["c_mktsegment"], "BUILDING"))["c_custkey"].to_pylist()
-    )
+    building = cust.filter(pc.equal(cust["c_mktsegment"], "BUILDING"))[
+        "c_custkey"
+    ].combine_chunks()
     bref = ray.put(building)
 
+    class SemiFilter:
+        """Broadcast semi-join filter: key set fetched ONCE per actor in
+        __init__, membership tested with a vectorized pc.is_in per batch."""
+
+        def __init__(self, r):
+            self.keys = ray.get(r) if isinstance(r, ray.ObjectRef) else r
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            return t.filter(pc.is_in(t["o_custkey"], value_set=self.keys))
+
     orders = _pq(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
-        lambda t: t.filter(
-            pa.array([k in ray.get(bref) for k in t["o_custkey"].to_pylist()])
-        ),
-        batch_format="pyarrow", zero_copy_batch=True,
+        SemiFilter, fn_constructor_args=(bref,),
+        batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 4),
     )
     li = _pq(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
     joined = li.join(orders, "inner", num_partitions=8, on=("l_orderkey",), right_on=("o_orderkey",))
@@ -410,26 +417,34 @@ def q_pipeline_nation_rollup(sf_dir: str):
     nat = pq_mod.read_table(
         os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_name"]
     )
+    # custkey -> nation name as two aligned arrays: index_in + take gives a
+    # fully vectorized dictionary lookup inside the map stage.
     nmap = dict(zip(nat["n_nationkey"].to_pylist(), nat["n_name"].to_pylist()))
-    cmap = {
-        c: nmap.get(n)
-        for c, n in zip(cust["c_custkey"].to_pylist(), cust["c_nationkey"].to_pylist())
-    }
-    cref = ray.put(cmap)
+    ckeys = cust["c_custkey"].combine_chunks()
+    cnames = pa.array(
+        [nmap.get(n) for n in cust["c_nationkey"].to_pylist()], pa.string()
+    )
+    cref = ray.put((ckeys, cnames))
 
     li = _pq(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
     orders = _pq(sf_dir, "orders", ["o_orderkey", "o_custkey"])
     joined = li.join(orders, "inner", num_partitions=8, on=("l_orderkey",), right_on=("o_orderkey",))
 
-    def attach_nation(t: pa.Table) -> pa.Table:
-        m = ray.get(cref)
-        names = [m.get(k) for k in t["o_custkey"].to_pylist()]
-        return pa.table(
-            {"n_name": pa.array(names, pa.string()), "l_quantity": t["l_quantity"]}
-        )
+    class AttachNation:
+        def __init__(self, r):
+            self.keys, self.names = ray.get(r) if isinstance(r, ray.ObjectRef) else r
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            pos = pc.index_in(t["o_custkey"], value_set=self.keys)
+            return pa.table(
+                {"n_name": self.names.take(pos), "l_quantity": t["l_quantity"]}
+            )
 
     return (
-        joined.map_batches(attach_nation, batch_format="pyarrow", zero_copy_batch=True)
+        joined.map_batches(
+            AttachNation, fn_constructor_args=(cref,),
+            batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 4),
+        )
         .groupby("n_name")
         .aggregate(Count(alias_name="n"), Sum("l_quantity", alias_name="sum_qty"))
     )

@@ -94,3 +94,73 @@ def test_cuckoo_delete():
     assert not f.contains(150)
     assert not f.delete(150)  # already gone
     assert f.contains(151)
+
+
+def test_committed_hashes_exclude_uncommitted_round(tmp_path):
+    """Crash window between the seen-delta write and the _SUCCESS marker:
+    the dead-shard replay source must NOT include the in-flight round's
+    delta, or the re-executed round sees its own URLs as already-seen."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from raycrawl.pipelines.crawl import _load_committed_hashes
+
+    out = str(tmp_path / "out")
+
+    def _write(rel, hashes):
+        d = os.path.join(out, rel)
+        os.makedirs(d, exist_ok=True)
+        pq.write_table(
+            pa.table({"url_hash": pa.array(hashes, pa.uint64())}),
+            os.path.join(d, "part-0.parquet"),
+        )
+
+    _write("seen/round=bootstrap", [1, 2])
+    _write("seen/round=0", [10, 11])
+    os.makedirs(os.path.join(out, "ckpt/round=0"), exist_ok=True)
+    with open(os.path.join(out, "ckpt/round=0/_SUCCESS"), "w") as f:
+        f.write("ok\n")
+    # round 1 delta written but round 1 never committed (no _SUCCESS)
+    _write("seen/round=1", [20, 21])
+
+    got = sorted(_load_committed_hashes(out).tolist())
+    assert got == [1, 2, 10, 11]
+
+
+def test_max_pages_budget_survives_resume(ray_session, smoke_corpus, tmp_path):
+    """I5 x I4: a crawl interrupted after a committed round and resumed must
+    stop at the same round the uninterrupted run (and pyref) would — the
+    budget counts committed rounds' fetches, not just post-resume ones."""
+    from raycrawl.pipelines.crawl import run_crawl_ray
+
+    pages, robots, seeds = _load_corpus(smoke_corpus)
+    # budget below round-0 fetch volume: oracle runs exactly one round
+    oracle = pyref.run_crawl(
+        pages, robots, seeds, CrawlConfig(max_rounds=3, seen_shards=4, max_pages=5)
+    )
+    assert oracle.rounds_run == 1
+
+    out = str(tmp_path / "resume_budget")
+    # first execution "crashes" after committing round 0
+    run_crawl_ray(
+        smoke_corpus, out,
+        CrawlConfig(max_rounds=1, seen_shards=4, max_pages=5), resume=False,
+    )
+    # resume with the full round budget: must NOT run any further rounds
+    summary = run_crawl_ray(
+        smoke_corpus, out,
+        CrawlConfig(max_rounds=3, seen_shards=4, max_pages=5), resume=True,
+    )
+    assert summary["resumed_at"] == 1
+
+    got = _ray_visits(out)
+    want = sorted(
+        oracle.visit_order,
+        key=lambda r: (r["round"], r["priority"], r["host"], r["seq"]),
+    )
+    assert [(r["url"], r["round"], r["seq"], r["status"]) for r in got] == [
+        (r["url"], r["round"], r["seq"], r["status"]) for r in want
+    ]
+    assert _ray_seen(out) == oracle.seen
