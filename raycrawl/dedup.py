@@ -21,12 +21,17 @@ shuffles carry ~0.5 KB per doc.
 from __future__ import annotations
 
 import hashlib
+import logging
 import os
 
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
+import ray
 import ray.data as rd
+
+_LOG = logging.getLogger("raycrawl.dedup")
 
 _MERSENNE = (1 << 61) - 1
 _N_PERM = 64
@@ -148,13 +153,22 @@ def band_explode_slim(t: pa.Table) -> pa.Table:
     )
 
 
+_BUCKET_CAP = 200
+
+
 def _bucket_candidate_pairs(g: pd.DataFrame) -> pd.DataFrame:
     """Within one band bucket: all candidate id pairs (a < b), capped per
-    bucket to bound pathological buckets."""
+    bucket to bound pathological buckets. A capped bucket emits a marker
+    row (a = -1, b = #ids dropped) so the driver can count and LOG the
+    truncation — no silent caps."""
     if len(g) < 2:
         return pd.DataFrame({"a": [], "b": []}, dtype="int64")
-    ids = sorted(int(x) for x in g["doc_id"].unique())[:200]  # cap blowup
+    all_ids = sorted(int(x) for x in g["doc_id"].unique())
+    ids = all_ids[:_BUCKET_CAP]
     a_out, b_out = [], []
+    if len(all_ids) > _BUCKET_CAP:
+        a_out.append(-1)
+        b_out.append(len(all_ids) - _BUCKET_CAP)
     for i in range(len(ids)):
         for j in range(i + 1, len(ids)):
             a_out.append(ids[i])
@@ -179,8 +193,10 @@ def _bucket_pairs(g: pd.DataFrame, threshold: float) -> pd.DataFrame:
     return pd.DataFrame({"a": a_out, "b": b_out}, dtype="int64")
 
 
-def _components_keep(all_ids: list[int], pairs: list[tuple[int, int]]) -> list[int]:
-    """Union-find over verified pairs; keep the min id per component."""
+def _components_drop(pairs) -> set[int]:
+    """Union-find over verified pairs; DROP every non-min id per component.
+    Only ids that appear in a pair enter the structure, so the result is
+    bounded by true-duplicate density — never corpus size."""
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:
@@ -194,18 +210,39 @@ def _components_keep(all_ids: list[int], pairs: list[tuple[int, int]]) -> list[i
         ra, rb = find(a), find(b)
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)
-    drop = {x for x in parent if find(x) != x}
+    return {x for x in parent if find(x) != x}
+
+
+def _components_keep(all_ids: list[int], pairs: list[tuple[int, int]]) -> list[int]:
+    """Keep the min id per component (driver-side convenience for SMALL id
+    sets; the scale path broadcasts `_components_drop` as a filter)."""
+    drop = _components_drop(pairs)
     return sorted(i for i in all_ids if i not in drop)
 
 
-def minhash_dedup(sf_dir: str, threshold: float = 0.7) -> pa.Table:
-    """Full MinHash-LSH dedup over documents: returns kept doc_ids.
+class _DropFilter:
+    """map_batches stage: drop rows whose id is in the broadcast DROP set.
+    The drop array ships via ray.put once (bounded by duplicate density)
+    and is fetched per task; membership is one vectorized is_in."""
+
+    def __init__(self, drop_ref, col: str) -> None:
+        self.drop = ray.get(drop_ref) if isinstance(drop_ref, ray.ObjectRef) else drop_ref
+        self.col = col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        if len(self.drop) == 0:
+            return t
+        return t.filter(pc.invert(pc.is_in(t[self.col], value_set=self.drop)))
+
+
+def minhash_drop_ids(sf_dir: str, threshold: float = 0.7) -> set[int]:
+    """MinHash-LSH near-dup DROP set (non-min id per duplicate component).
 
     Scale shape: signatures materialize once; the banding shuffle carries
     only (bkey, doc_id); buckets emit candidate id pairs; verification
     pulls ONLY the candidate signatures (bounded by true-duplicate
     density, not corpus size) and checks signature agreement >= threshold.
-    """
+    Only pair ids ever reach the driver — never the full corpus id list."""
     docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
     sigs = docs.map_batches(
         minhash_batch, batch_format="pyarrow", zero_copy_batch=True
@@ -214,39 +251,60 @@ def minhash_dedup(sf_dir: str, threshold: float = 0.7) -> pa.Table:
     pairs_ds = banded.groupby("bkey").map_groups(
         _bucket_candidate_pairs, batch_format="pandas"
     )
-    pairs = {  # dedup pair list (bands can emit the same pair many times)
-        (int(r["a"]), int(r["b"])) for r in pairs_ds.take_all()
-    }
-    all_ids: list[int] = []
-    if pairs:
-        cand_ids = {x for p in pairs for x in p}
-        cref = None
-        import ray as _ray
+    pairs = set()  # dedup pair list (bands can emit the same pair many times)
+    dropped_cands = 0
+    for r in pairs_ds.take_all():
+        if r["a"] < 0:  # capped-bucket marker (see _bucket_candidate_pairs)
+            dropped_cands += int(r["b"])
+        else:
+            pairs.add((int(r["a"]), int(r["b"])))
+    if dropped_cands:
+        _LOG.warning(
+            "minhash LSH: %d candidate ids exceeded the %d-id bucket cap and "
+            "were not paired (recall may drop for pathological buckets)",
+            dropped_cands, _BUCKET_CAP,
+        )
+    if not pairs:
+        return set()
+    cand_ids = {x for p in pairs for x in p}
+    cref = ray.put(pa.array(sorted(cand_ids), pa.int64()))
 
-        cref = _ray.put(cand_ids)
+    class PullSigs:
+        def __init__(self, r):
+            self.wanted = ray.get(r) if isinstance(r, ray.ObjectRef) else r
 
-        def pull_sigs(t: pa.Table) -> pa.Table:
-            wanted = _ray.get(cref)
-            mask = [i in wanted for i in t["doc_id"].to_pylist()]
-            return t.filter(pa.array(mask))
+        def __call__(self, t: pa.Table) -> pa.Table:
+            return t.filter(pc.is_in(t["doc_id"], value_set=self.wanted))
 
-        sig_by_id: dict[int, np.ndarray] = {}
-        for b in sigs.map_batches(
-            pull_sigs, batch_format="pyarrow", zero_copy_batch=True
-        ).iter_batches(batch_format="pyarrow"):
-            for i, s in zip(b["doc_id"].to_pylist(), b["sig"].to_pylist()):
-                sig_by_id[i] = np.asarray(s, dtype=np.uint64)
-        verified = [
-            (a, b)
-            for a, b in sorted(pairs)
-            if (sig_by_id[a] == sig_by_id[b]).mean() >= threshold
-        ]
-    else:
-        verified = []
-    for b in sigs.select_columns(["doc_id"]).iter_batches(batch_format="pyarrow"):
-        all_ids.extend(b["doc_id"].to_pylist())
-    keep = _components_keep(all_ids, verified)
-    return pa.table({"doc_id": pa.array(keep, pa.int64())})
+    sig_by_id: dict[int, np.ndarray] = {}
+    for b in sigs.map_batches(
+        PullSigs, fn_constructor_args=(cref,),
+        batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 4),
+    ).iter_batches(batch_format="pyarrow"):
+        for i, s in zip(b["doc_id"].to_pylist(), b["sig"].to_pylist()):
+            sig_by_id[i] = np.asarray(s, dtype=np.uint64)
+    verified = [
+        (a, b)
+        for a, b in sorted(pairs)
+        if (sig_by_id[a] == sig_by_id[b]).mean() >= threshold
+    ]
+    return _components_drop(verified)
+
+
+def minhash_dedup(sf_dir: str, threshold: float = 0.7) -> rd.Dataset:
+    """Full MinHash-LSH dedup over documents: returns the kept doc_ids as a
+    DATASET — the drop set (bounded by duplicate density) is broadcast and
+    applied as a distributed filter, so the keep list never materializes
+    on the driver."""
+    drop = minhash_drop_ids(sf_dir, threshold)
+    dref = ray.put(pa.array(sorted(drop), pa.int64()))
+    return (
+        rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+        .map_batches(
+            _DropFilter, fn_constructor_args=(dref, "doc_id"),
+            batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 4),
+        )
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -291,10 +349,11 @@ def _sim_bucket_pairs(g: pd.DataFrame, max_hamming: int) -> pd.DataFrame:
     return pd.DataFrame({"a": a_out, "b": b_out}, dtype="int64")
 
 
-def simhash_dedup(sf_dir: str, max_hamming: int = 3) -> pa.Table:
+def simhash_dedup(sf_dir: str, max_hamming: int = 3) -> rd.Dataset:
     """SimHash near-dup: 4x16-bit band buckets (any pair within hamming<=3
     shares at least one exact 16-bit band by pigeonhole), verified by true
-    hamming distance in-bucket. Returns kept doc_ids."""
+    hamming distance in-bucket. Returns kept doc_ids as a Dataset (drop
+    set broadcast, keep applied distributed)."""
     docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
     sh = docs.map_batches(simhash_batch, batch_format="pyarrow", zero_copy_batch=True)
 
@@ -321,9 +380,40 @@ def simhash_dedup(sf_dir: str, max_hamming: int = 3) -> pa.Table:
         lambda g: _sim_bucket_pairs(g, max_hamming), batch_format="pandas"
     )
     pairs = {(int(r["a"]), int(r["b"])) for r in pairs_ds.take_all()}
-    all_ids = [r["doc_id"] for r in docs.select_columns(["doc_id"]).take_all()]
-    keep = _components_keep(all_ids, sorted(pairs))
-    return pa.table({"doc_id": pa.array(keep, pa.int64())})
+    # drop set (bounded by dup density) broadcast as a distributed filter —
+    # the full doc_id list never lands on the driver
+    drop = _components_drop(sorted(pairs))
+    dref = ray.put(pa.array(sorted(drop), pa.int64()))
+    return docs.select_columns(["doc_id"]).map_batches(
+        _DropFilter, fn_constructor_args=(dref, "doc_id"),
+        batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 4),
+    )
+
+
+def exact_dup_drop_ids(sf_dir: str) -> set[int]:
+    """Exact-dedup DROP set: for every group of identical texts (64-bit
+    content hash key), every id except the min. Complements
+    relational.q_dedup_exact (which returns the keep side); only duplicate
+    ids reach the driver."""
+    from raycrawl import core
+
+    def hash_text(t: pa.Table) -> pa.Table:
+        hs = [core.url_hash(x) for x in t["text"].to_pylist()]
+        return pa.table({"doc_id": t["doc_id"], "h": pa.array(hs, pa.uint64())})
+
+    def non_min(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"doc_id": []}, dtype="int64")
+        m = g["doc_id"].min()
+        return g[g["doc_id"] != m][["doc_id"]]
+
+    ds = (
+        rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+        .map_batches(hash_text, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("h")
+        .map_groups(non_min, batch_format="pandas")
+    )
+    return {int(r["doc_id"]) for r in ds.take_all()}
 
 
 # ---------------------------------------------------------------------------

@@ -20,8 +20,7 @@ import ray
 import ray.data as rd
 
 from raycrawl import textproc
-from raycrawl.dedup import minhash_dedup
-from raycrawl.relational import q_dedup_exact
+from raycrawl.dedup import exact_dup_drop_ids, minhash_drop_ids
 
 
 def prep_corpus(
@@ -36,28 +35,35 @@ def prep_corpus(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
     )
 
-    # keep-lists computed once, broadcast as id sets (no shuffle join)
-    exact_keep = set(q_dedup_exact(sf_dir).to_pandas()["doc_id"])
-    keep_ids = exact_keep
+    # DROP sets computed once and broadcast (bounded by duplicate density —
+    # never the corpus-sized keep lists): keep == NOT in (exact ∪ near).
+    drop_ids = exact_dup_drop_ids(sf_dir)
     if near_dedup:
-        near_keep = set(minhash_dedup(sf_dir)["doc_id"].to_pylist())
-        keep_ids = exact_keep & near_keep
-    keep_ref = ray.put(keep_ids)
+        drop_ids = drop_ids | minhash_drop_ids(sf_dir)
+    drop_ref = ray.put(pa.array(sorted(drop_ids), pa.int64()))
 
-    def analyze(t: pa.Table) -> pa.Table:
-        t = textproc.lang_id_batch(t)
-        t = textproc.token_count_batch(t)
-        t = textproc.quality_score_batch(t)
-        keep = ray.get(keep_ref)
-        mask = pc.and_(
-            pc.and_(
-                pa.array([i in keep for i in t["doc_id"].to_pylist()]),
-                pc.greater_equal(t["n_tokens"], min_tokens),
-            ),
-            pc.greater_equal(t["quality"], min_quality),
-        )
-        return t.filter(mask).select(
-            ["doc_id", "lang_pred", "n_tokens", "n_tokens_bpe", "quality"]
-        )
+    class Analyze:
+        def __init__(self, dref):
+            self.drop = ray.get(dref) if isinstance(dref, ray.ObjectRef) else dref
 
-    return docs.map_batches(analyze, batch_format="pyarrow", zero_copy_batch=True)
+        def __call__(self, t: pa.Table) -> pa.Table:
+            t = textproc.lang_id_batch(t)
+            t = textproc.token_count_batch(t)
+            t = textproc.quality_score_batch(t)
+            keep = (
+                pc.invert(pc.is_in(t["doc_id"], value_set=self.drop))
+                if len(self.drop)
+                else pa.array([True] * t.num_rows)
+            )
+            mask = pc.and_(
+                pc.and_(keep, pc.greater_equal(t["n_tokens"], min_tokens)),
+                pc.greater_equal(t["quality"], min_quality),
+            )
+            return t.filter(mask).select(
+                ["doc_id", "lang_pred", "n_tokens", "n_tokens_bpe", "quality"]
+            )
+
+    return docs.map_batches(
+        Analyze, fn_constructor_args=(drop_ref,),
+        batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 4),
+    )

@@ -202,13 +202,15 @@ def ann_topk_lsh(sf_dir: str, k: int = 5, n_queries: int = 10, probes: int = 4) 
     )
 
 
-def embedding_neardup(sf_dir: str, threshold: float = 0.97) -> pa.Table:
+def embedding_neardup(sf_dir: str, threshold: float = 0.97):
     """Embedding-cosine near-dup keep-list: pairs above threshold found by
     per-batch matmul against the broadcast corpus matrix (OK to broadcast:
-    D=64 floats/vec; the 10^10-scale path is LSH bucketing as above)."""
+    D=64 floats/vec; the 10^10-scale path is LSH bucketing as above).
+    Returns the kept vec_ids as a DATASET — the drop set (bounded by dup
+    density) is broadcast and applied as a distributed filter."""
     import pyarrow.parquet as pq
 
-    from raycrawl.dedup import _components_keep
+    from raycrawl.dedup import _components_drop, _DropFilter
 
     path = os.path.join(sf_dir, "embeddings.parquet")
     full = pq.read_table(path, columns=["vec_id", "embedding"])
@@ -240,5 +242,9 @@ def embedding_neardup(sf_dir: str, threshold: float = 0.97) -> pa.Table:
         batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8),
     )
     pairs = [(r["a"], r["b"]) for r in pairs_ds.take_all()]
-    keep = _components_keep(ids.tolist(), pairs)
-    return pa.table({"vec_id": pa.array(keep, pa.int64())})
+    drop = _components_drop(pairs)
+    dref = ray.put(pa.array(sorted(drop), pa.int64()))
+    return rd.read_parquet(path, columns=["vec_id"]).map_batches(
+        _DropFilter, fn_constructor_args=(dref, "vec_id"),
+        batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 4),
+    )

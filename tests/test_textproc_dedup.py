@@ -71,7 +71,7 @@ class TestMinHash:
         d.mkdir()
         pq.write_table(pa.table(rows), str(d / "documents.parquet"))
         out = dedup.minhash_dedup(str(d), threshold=0.5)
-        assert out["doc_id"].to_pylist() == [0, 2]
+        assert sorted(out.to_pandas()["doc_id"]) == [0, 2]
 
     def test_ngram_jaccard(self):
         assert dedup.ngram_jaccard("a b c d e", "a b c d e") == 1.0
@@ -100,7 +100,7 @@ class TestSimHash:
         d.mkdir()
         pq.write_table(pa.table(rows), str(d / "documents.parquet"))
         out = dedup.simhash_dedup(str(d))
-        assert out["doc_id"].to_pylist() == [0, 2]
+        assert sorted(out.to_pandas()["doc_id"]) == [0, 2]
 
 
 class TestSimilarity:
@@ -134,7 +134,7 @@ class TestSimilarity:
         import pyarrow.parquet as pq
 
         n = pq.read_table(f"{SF_DIR}/embeddings.parquet").num_rows
-        assert len(out) == n  # random vectors: no near-identical pairs
+        assert out.count() == n  # random vectors: no near-identical pairs
 
 
 class TestMultimodal:
