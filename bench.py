@@ -29,9 +29,17 @@ import time
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
-BENCH_CORPUS = "/tmp/raycrawl_bench_corpus_v2"  # suffix = gen_corpus.GEN_VERSION
 BENCH_HOSTS = 200
 BENCH_PAGES = 100_000
+
+
+def _bench_corpus_path() -> str:
+    from raycrawl.fixtures.gen_corpus import GEN_VERSION
+
+    return f"/tmp/raycrawl_bench_corpus_v{GEN_VERSION}"
+
+
+BENCH_CORPUS = _bench_corpus_path()
 
 
 def ensure_bench_corpus() -> str:

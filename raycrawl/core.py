@@ -406,6 +406,10 @@ class CrawlConfig:
     max_per_host_round: int = 10_000
     retries: int = 3
     fail_permille: int = 0
+    # M10: fetched pages whose content_type matches none of these prefixes
+    # get a visit row but are never parsed (no text, no links, no frontier
+    # expansion); corpora without a content_type column are all-HTML.
+    allowed_content_types: tuple[str, ...] = ("text/html",)
     user_agents: tuple[str, ...] = ("raycrawl/1.0",)
     seen_shards: int = 8
     num_partitions: int = 16

@@ -37,7 +37,10 @@ NONASCII = {"latin-1": " café naïve über résumé.", "gbk": " 中文测试文
 BASE_TS_US = 1_700_000_000_000_000  # fixed epoch anchor (us)
 
 # bump whenever generated CONTENT or layout changes — cache dirs embed it
-GEN_VERSION = 2
+# v3: content_type + n_links oracle columns; non-HTML asset pages (M10)
+GEN_VERSION = 3
+
+ASSET_TYPES = ["application/pdf", "image/png", "application/octet-stream"]
 
 
 def _h(*parts) -> int:
@@ -74,6 +77,27 @@ def page_path(seed: int, h: int, n: int, n_hosts: int) -> str:
 
 def page_url(seed: int, h: int, n: int, n_hosts: int) -> str:
     return f"http://{host_name(h)}{page_path(seed, h, n, n_hosts)}"
+
+
+def has_asset(seed: int, h: int, n: int) -> bool:
+    """~1/6 of pages link to a non-HTML asset on the same host (M10)."""
+    return _h(seed, "asset", h, n) % 6 == 0
+
+
+def asset_path(n: int) -> str:
+    return f"/asset/{n:06d}.bin"
+
+
+def asset_url(h: int, n: int) -> str:
+    return f"http://{host_name(h)}{asset_path(n)}"
+
+
+def asset_body(seed: int, h: int, n: int) -> bytes:
+    """Deterministic pseudo-binary payload (never valid HTML)."""
+    return b"".join(
+        hashlib.sha1(f"{seed}:assetbody:{h}:{n}:{i}".encode()).digest()
+        for i in range(8)
+    )
 
 
 def _words(seed: int, key: str, n: int) -> str:
@@ -124,6 +148,11 @@ def build_page(seed: int, h: int, n: int, n_hosts: int, counts: list[int]) -> tu
             href = _dirty_href(seed, h, n, full, k)
         hrefs.append(href)
         anchors.append(f'<a href="{href}">link {k} &amp; more</a>')
+    if has_asset(seed, h, n):
+        # link to a non-HTML asset page — fetched, but M10 skips the parse
+        ah = asset_path(n)
+        hrefs.append(f"http://{host}{ah}")
+        anchors.append(f'<a href="{ah}">asset {n}</a>')
 
     charset = "utf-8"
     extra = ""
@@ -149,7 +178,20 @@ def build_page(seed: int, h: int, n: int, n_hosts: int, counts: list[int]) -> tu
 
 
 def gen_host_rows(seed: int, h: int, n_hosts: int, counts: list[int]) -> dict:
-    urls, tss, htmls, texts, langs = [], [], [], [], []
+    urls, tss, htmls, texts, langs, ctypes, nlinks = [], [], [], [], [], [], []
+
+    def _append(url, ts, body, lang, ctype):
+        urls.append(url)
+        tss.append(ts)
+        htmls.append(body)
+        # oracle columns, computed with the pinned extractor regardless of
+        # content type (the crawl gates on content_type; the extract_text /
+        # extract_links_count queries run the raw per-row semantics)
+        texts.append(core.extract_text(body))
+        nlinks.append(len(core.extract_links(body, url)))
+        langs.append(lang)
+        ctypes.append(ctype)
+
     for n in range(counts[h]):
         url = page_url(seed, h, n, n_hosts)
         _, html, _ = build_page(seed, h, n, n_hosts, counts)
@@ -163,12 +205,21 @@ def gen_host_rows(seed: int, h: int, n_hosts: int, counts: list[int]) -> dict:
             else:
                 stale = f"<html><body><p>stale snapshot {s} of {url}</p></body></html>"
                 body = stale.encode("utf-8")
-            urls.append(url)
-            tss.append(BASE_TS_US + (_h(seed, "ts", h, n) % 10_000_000) * 1_000_000 + s * 86_400_000_000)
-            htmls.append(body)
-            texts.append(core.extract_text(body))
-            langs.append(lang)
-    return {"url": urls, "warc_ts": tss, "html": htmls, "text": texts, "lang": langs}
+            ts = BASE_TS_US + (_h(seed, "ts", h, n) % 10_000_000) * 1_000_000 + s * 86_400_000_000
+            _append(url, ts, body, lang, "text/html")
+        if has_asset(seed, h, n):
+            # the non-HTML target of this page's asset link (single snapshot)
+            _append(
+                asset_url(h, n),
+                BASE_TS_US + (_h(seed, "ats", h, n) % 10_000_000) * 1_000_000,
+                asset_body(seed, h, n),
+                "und",
+                ASSET_TYPES[_h(seed, "atype", h, n) % len(ASSET_TYPES)],
+            )
+    return {
+        "url": urls, "warc_ts": tss, "html": htmls, "text": texts,
+        "lang": langs, "content_type": ctypes, "n_links": nlinks,
+    }
 
 
 PAGES_SCHEMA = pa.schema(
@@ -178,6 +229,8 @@ PAGES_SCHEMA = pa.schema(
         ("html", pa.binary()),
         ("text", pa.string()),
         ("lang", pa.string()),
+        ("content_type", pa.string()),
+        ("n_links", pa.int32()),
     ]
 )
 
@@ -192,6 +245,8 @@ def _host_table(args) -> pa.Table:
             "html": cols["html"],
             "text": cols["text"],
             "lang": cols["lang"],
+            "content_type": cols["content_type"],
+            "n_links": pa.array(cols["n_links"], pa.int32()),
         },
         schema=PAGES_SCHEMA,
     )

@@ -213,8 +213,14 @@ def _latest_snapshot(g: pd.DataFrame) -> pd.DataFrame:
     return g.loc[[g["warc_ts"].idxmax()]]
 
 
-def _parse_batch(t: pa.Table, page_callback=None, site_registry=None) -> pa.Table:
-    """Fused M4+M5+M6 (+M7): one HTML parse -> text + links (list column).
+def _parse_batch(
+    t: pa.Table, page_callback=None, site_registry=None,
+    allowed_content_types: tuple = ("text/html",),
+) -> pa.Table:
+    """Fused M4+M5+M6 (+M7+M10): one HTML parse -> text + links (list
+    column). Rows whose content_type matches no allowed prefix are NOT
+    parsed (M10): text=null, links=[], is_html=False — they still flow to
+    the visits sink but are filtered from extracted/expansion downstream.
     `page_callback` is the X3 user hook: fn(url, text, links) -> dict|None,
     surfaced as a `user_json` column. `site_registry` ({host: SiteConfig})
     runs the declarative per-site extractors while html is still in hand,
@@ -223,11 +229,26 @@ def _parse_batch(t: pa.Table, page_callback=None, site_registry=None) -> pa.Tabl
 
     htmls = t["html"].to_pylist()
     bases = t["url_norm"].to_pylist()
+    if "content_type" in t.column_names:
+        is_html = [
+            any((c or "text/html").startswith(p) for p in allowed_content_types)
+            for c in t["content_type"].to_pylist()
+        ]
+    else:  # corpora without the column are all-HTML (input_hint schema)
+        is_html = [True] * t.num_rows
     texts, links, userjs, ents = [], [], [], []
     ep = core.extract_page
     if site_registry:
         from raycrawl.stages.site import extract_entities
-    for html, base in zip(htmls, bases):
+    for html, base, ok in zip(htmls, bases, is_html):
+        if not ok:
+            texts.append(None)
+            links.append([])
+            if page_callback is not None:
+                userjs.append(None)
+            if site_registry:
+                ents.append([])
+            continue
         text, ls = ep(html or b"", base or "")
         texts.append(text)
         links.append(ls)
@@ -250,6 +271,7 @@ def _parse_batch(t: pa.Table, page_callback=None, site_registry=None) -> pa.Tabl
         t = t.append_column("entities", pa.array(ents, pa.list_(pa.string())))
     t = t.append_column("text", pa.array(texts, pa.string()))
     t = t.append_column("links", pa.array(links, pa.list_(pa.string())))
+    t = t.append_column("is_html", pa.array(is_html, pa.bool_()))
     n = pa.array([len(x) for x in links], pa.int32())
     return t.append_column("n_links", n)
 
@@ -452,6 +474,20 @@ def run_crawl_ray(
     delays = crawl_delays(rules)
     rules_ref = ray.put(rules)
 
+    # corpus projection: only (url, warc_ts, html [, content_type]) ever
+    # leave storage; content_type is optional (input_hint corpora are
+    # all-HTML without it) and feeds the M10 gate.
+    corpus_cols = ["url", "warc_ts", "html"]
+    try:
+        first = (
+            os.path.join(pages_path, sorted(os.listdir(pages_path))[0])
+            if os.path.isdir(pages_path) else pages_path
+        )
+        if "content_type" in pq.read_schema(first).names:
+            corpus_cols.append("content_type")
+    except OSError:
+        pass
+
     if seed_urls is None:
         st = pq.read_table(os.path.join(corpus_dir, "seeds.parquet"))
         order = pa.compute.sort_indices(st["rank"])
@@ -540,7 +576,7 @@ def run_crawl_ray(
             )
             if ts_ties:
                 corpus_cached = rd.read_parquet(
-                    pages_path, columns=["url", "warc_ts", "html"]
+                    pages_path, columns=corpus_cols
                 ).materialize()
             else:
                 dmax_dict = dup_max.to_dict()
@@ -557,7 +593,7 @@ def run_crawl_ray(
                     return t.filter(pa.array(mask))
 
                 corpus_cached = (
-                    rd.read_parquet(pages_path, columns=["url", "warc_ts", "html"])
+                    rd.read_parquet(pages_path, columns=corpus_cols)
                     .map_batches(_latest_filter, batch_format="pyarrow", zero_copy_batch=True)
                     .materialize()
                 )
@@ -675,7 +711,7 @@ def run_crawl_ray(
 
                 _lap("politeness")
                 corpus = corpus_cached if corpus_cached is not None else rd.read_parquet(
-                    pages_path, columns=["url", "warc_ts", "html"]
+                    pages_path, columns=corpus_cols
                 )
                 fetch_tbl = None  # broadcast-path fetch set (politeness-bounded)
                 miss_visits = None  # join-path 404 visits (stays a Dataset)
@@ -753,7 +789,9 @@ def run_crawl_ray(
                     ok = matched.filter(expr="fail == False").drop_columns(["fail"])
                     failed = matched.filter(expr="fail == True").drop_columns(["fail"])
                     parsed = ok.map_batches(
-                        lambda t: _parse_batch(t, page_callback, site_registry),
+                        lambda t: _parse_batch(
+                            t, page_callback, site_registry, cfg.allowed_content_types
+                        ),
                         batch_format="pyarrow", zero_copy_batch=True,
                         concurrency=cfg.extra.get("parse_concurrency", None),
                     ).materialize()
@@ -762,13 +800,19 @@ def run_crawl_ray(
                     # into ONE materialized execution
                     failed = None
                     parsed = matched.map_batches(
-                        lambda t: _parse_batch(t, page_callback, site_registry),
+                        lambda t: _parse_batch(
+                            t, page_callback, site_registry, cfg.allowed_content_types
+                        ),
                         batch_format="pyarrow", zero_copy_batch=True,
                         concurrency=cfg.extra.get("parse_concurrency", None),
                     ).materialize()
                     matched = parsed  # every matched row is exactly one parsed row
 
                 c["status_200"] = parsed.count()
+                # M10: non-HTML fetches got a visit row but no parse; they
+                # are excluded from the extracted sink + expansion below
+                n_html = parsed.filter(expr="is_html == True").count()
+                c["skipped_content_type"] = c["status_200"] - n_html
                 c["transient_fail"] = failed.count() if failed is not None else 0
                 part_lineage += [
                     {"round": rnd, "stage": "parse", "partition": i, "rows": n}
@@ -819,14 +863,14 @@ def run_crawl_ray(
                 edir = os.path.join(out_dir, f"extracted/round={rnd}")
                 os.makedirs(edir, exist_ok=True)
                 extracted = parsed.map_batches(
-                    lambda t: pa.table(
+                    lambda t: (lambda h: pa.table(
                         {
-                            "url": t["url_norm"].cast(pa.string()),
-                            "text": t["text"].cast(pa.string()),
-                            "n_links": t["n_links"].cast(pa.int32()),
-                            "round": pa.array([rnd] * t.num_rows, pa.int32()),
+                            "url": h["url_norm"].cast(pa.string()),
+                            "text": h["text"].cast(pa.string()),
+                            "n_links": h["n_links"].cast(pa.int32()),
+                            "round": pa.array([rnd] * h.num_rows, pa.int32()),
                         }
-                    ),
+                    ))(t.filter(t["is_html"])),
                     batch_format="pyarrow",
                 )
                 extracted.write_parquet(edir)
@@ -1029,7 +1073,7 @@ def run_crawl_ray(
 
                 counters_all.append(c)
                 summary["visits"] += c["fetched"]
-                summary["extracted"] += c["status_200"]
+                summary["extracted"] += c["status_200"] - c["skipped_content_type"]
 
                 break
             except ray.exceptions.RayError:

@@ -25,6 +25,9 @@ Pinned orchestration semantics (shared contract with the Ray engine):
 - Fetch: url_norm looked up in the snapshot-picked corpus; miss -> status
   404; seeded transient failure -> retry with attempt+1 up to `retries`,
   deferred one round (not_before_round) (J1/J2/M15/I3).
+- Content-type gate (M10): a fetched page whose content_type matches no
+  allowed prefix gets its status-200 visit but is never parsed — no
+  extracted row, no links, counted as skipped_content_type.
 - Frontier expansion only from status-200 pages, depth+1 <= max_depth,
   accepted links are the canonicalized non-"" results (M5+M1).
 """
@@ -120,6 +123,7 @@ def run_crawl(
             "dup_within_round": 0,
             "skipped_seen": 0,
             "skipped_robots": 0,
+            "skipped_content_type": 0,
             "carryover": 0,
             "links_seen": 0,
         }
@@ -181,6 +185,12 @@ def run_crawl(
                  "host": r.host, "seq": r.seq, "status": status,
                  "user_agent": cfg.user_agents[r.seq % len(cfg.user_agents)]}
             )
+            # M10 gate: non-HTML content is fetched (visit above) but never
+            # parsed — no extracted row, no links, no frontier expansion.
+            ctype = page.get("content_type") or "text/html"
+            if not any(ctype.startswith(p) for p in cfg.allowed_content_types):
+                counters["skipped_content_type"] += 1
+                continue
             text = core.extract_text(page["html"])
             links = core.extract_links(page["html"], r.url_norm)
             counters["links_seen"] += len(links)

@@ -19,12 +19,14 @@ import os
 from raycrawl import multimodal, relational, similarity, textproc
 
 
-def _smoke_corpus_dir(sf_dir: str) -> str:
-    """Deterministic cached crawl corpus, sized by the sf level."""
+def _smoke_corpus_dir(sf_dir: str = "") -> str:
+    """Deterministic cached crawl corpus. ONE shared path for every sf
+    level (the generator output is sf-independent) so the STATIC oracle
+    SQL strings can reference it by literal path at sf0.001 (local tests)
+    and sf0.01 (the driver) alike."""
     from raycrawl.fixtures.gen_corpus import GEN_VERSION, generate
 
-    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    out = f"/tmp/raycrawl_fixture_v{GEN_VERSION}_{tag}"
+    out = f"/tmp/raycrawl_fixture_v{GEN_VERSION}_smoke"
     if not os.path.exists(os.path.join(out, "pages.parquet")):
         generate(out, n_hosts=20, n_pages=1000, seed=42)
     return out
@@ -69,6 +71,55 @@ def q_crawl_visits(sf_dir: str):
     run_crawl_ray(corpus, out, CrawlConfig(max_rounds=2, seen_shards=4), resume=False)
     tabs = [pq.read_table(f) for f in sorted(glob.glob(f"{out}/visits/round=*/*.parquet"))]
     return pa.concat_tables(tabs, promote_options="default")
+
+
+def q_extract_links_count(sf_dir: str):
+    """M5 over the crawl corpus: engine-side link extraction per snapshot
+    row, self-asserted against the generator's independent n_links column
+    (the oracle SQL reads that column straight from the fixture)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from raycrawl import core
+
+    corpus = _smoke_corpus_dir(sf_dir)
+    ds = rd.read_parquet(
+        os.path.join(corpus, "pages.parquet"), columns=["url", "html", "n_links"]
+    )
+
+    def count_links(t: pa.Table) -> pa.Table:
+        ns = [
+            len(core.extract_links(h or b"", u or ""))
+            for h, u in zip(t["html"].to_pylist(), t["url"].to_pylist())
+        ]
+        got = pa.array(ns, pa.int32())
+        if not pc.all(pc.equal(got, t["n_links"])).as_py():
+            raise AssertionError("extract_links drifted from oracle column")
+        return pa.table({"url": t["url"], "n_links": got})
+
+    return ds.map_batches(count_links, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_sample_qa(sf_dir: str):
+    """O4 deterministic hash-threshold sample (~10%): md5(doc_id) lower
+    64 bits mod 10 — Ray-version-independent and SQL-expressible (DuckDB
+    md5_number_lower has the same bit semantics, verified in tests)."""
+    import hashlib
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    def samp(t: pa.Table) -> pa.Table:
+        keep = [
+            int.from_bytes(hashlib.md5(str(i).encode()).digest()[8:], "little") % 10 == 0
+            for i in t["doc_id"].to_pylist()
+        ]
+        return t.filter(pa.array(keep))
+
+    return rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    ).map_batches(samp, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def q_quality_score(sf_dir: str):
@@ -128,10 +179,8 @@ def build_queries() -> dict:
         # similarity search
         "ann_topk": similarity.ann_topk,
         "ann_topk_lsh": similarity.ann_topk_lsh,  # rows-only (approximate)
-        # sampling (O4; rows-only — seeded, deterministic per Ray version)
-        "sample_qa": lambda sf: __import__("ray.data", fromlist=["x"]).read_parquet(
-            sf + "/documents.parquet", columns=["doc_id"]
-        ).random_sample(0.1, seed=42),
+        # sampling (O4): deterministic hash-threshold sample, oracle-checked
+        "sample_qa": q_sample_qa,
         # sketches (rows-only: approximate by construction)
         "approx_distinct": lambda sf: __import__(
             "raycrawl.sketches", fromlist=["x"]
@@ -142,14 +191,30 @@ def build_queries() -> dict:
         "prep_corpus": lambda sf: __import__(
             "raycrawl.pipelines.prep", fromlist=["x"]
         ).prep_corpus(sf),
-        # crawl engine (rows-only; oracle is pyref, asserted in pytest)
+        # crawl engine (extract_text/links are DuckDB-checked against the
+        # fixture's independent oracle columns; crawl_visits' oracle is
+        # pyref, asserted in pytest)
         "extract_text": q_extract_text,
+        "extract_links_count": q_extract_links_count,
         "crawl_visits": q_crawl_visits,
     }
 
 
 def build_oracle_sql() -> dict:
+    # the extract_text / extract_links_count oracles read the fixture
+    # corpus by literal path — make sure it exists even if the driver runs
+    # the SQL side before the Ray side on a cold /tmp
+    corpus = _smoke_corpus_dir()
+    pages_glob = os.path.join(corpus, "pages.parquet", "*.parquet")
     return {
+        "extract_text": f"SELECT url, text FROM read_parquet('{pages_glob}')",
+        "extract_links_count": (
+            f"SELECT url, n_links FROM read_parquet('{pages_glob}')"
+        ),
+        "sample_qa": (
+            "SELECT doc_id FROM documents "
+            "WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) % 10 = 0"
+        ),
         "read_pages_count": "SELECT count(*) AS n FROM documents",
         "lang_filter": "SELECT doc_id, lang FROM documents WHERE lang = 'en'",
         "filter_pred": (

@@ -47,8 +47,8 @@ def _ray_seen(out_dir):
 
 CMP_KEYS = [
     "fetched", "status_200", "status_404", "discovered", "dup_within_round",
-    "skipped_robots", "skipped_seen", "carryover", "transient_fail",
-    "retry_exhausted",
+    "skipped_robots", "skipped_seen", "skipped_content_type", "carryover",
+    "transient_fail", "retry_exhausted",
 ]
 
 
@@ -155,3 +155,20 @@ def test_politeness_quota_enforced(crawl_pair):
 
     per = Counter((v["round"], v["host"]) for v in visits)
     assert all(n <= 12 for (_, h), n in per.items() if h == "h000.example")
+
+
+def test_content_type_gate(crawl_pair):
+    """M10: non-HTML assets are fetched (status-200 visit) but never parsed
+    — no extracted row, no frontier expansion — identically in both
+    engines. Non-vacuous: the v3 corpus plants asset links the 3-round
+    smoke crawl reaches."""
+    oracle, summary, out = crawl_pair
+    skipped = [c["skipped_content_type"] for c in summary["counters"]]
+    assert sum(skipped) > 0, "corpus must exercise the content-type gate"
+    assert skipped == [c["skipped_content_type"] for c in oracle.counters]
+    visits = _ray_visits(out)
+    asset_visits = [v for v in visits if "/asset/" in v["url"]]
+    assert len(asset_visits) == sum(skipped)
+    assert all(v["status"] == 200 for v in asset_visits)
+    ext = _read_dir(os.path.join(out, "extracted/round=*/*.parquet"))
+    assert not any("/asset/" in u for u in ext["url"].to_pylist())
