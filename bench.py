@@ -276,6 +276,7 @@ def run_scaling(args) -> dict:
         h / l for l, h in zip(samples[args.cpus_low], samples[args.cpus_high])
     ]
     eff = statistics.median(ratios) / factor
+    eff_min = min(ratios) / factor
     return {
         "metric": "scaling_efficiency",
         "value": round(eff, 3),
@@ -297,6 +298,8 @@ def run_scaling(args) -> dict:
             "ideal_factor": factor,
             "achieved_factor": round(hi / lo, 3),
             "efficiency": round(eff, 3),
+            "efficiency_min": round(eff_min, 3),
+            "per_trial_ratios": [round(r / factor, 3) for r in ratios],
         },
     }
 
@@ -306,7 +309,7 @@ def main() -> None:
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--components", default="extract,crawl,queries")
     ap.add_argument("--scaling-component", default="extract_analyze")
-    ap.add_argument("--trials", type=int, default=3)
+    ap.add_argument("--trials", type=int, default=5)
     ap.add_argument("--num-cpus", type=int, default=None)
     ap.add_argument("--cpus-low", type=int, default=2)
     ap.add_argument("--cpus-high", type=int, default=8)

@@ -19,17 +19,67 @@ import os
 from raycrawl import multimodal, relational, similarity, textproc
 
 
+SMOKE_CRAWL_ROUNDS = 2  # pinned config shared by q_crawl_* and their oracle
+
+
 def _smoke_corpus_dir(sf_dir: str = "") -> str:
     """Deterministic cached crawl corpus. ONE shared path for every sf
     level (the generator output is sf-independent) so the STATIC oracle
     SQL strings can reference it by literal path at sf0.001 (local tests)
-    and sf0.01 (the driver) alike."""
+    and sf0.01 (the driver) alike. Alongside the corpus we persist the
+    pyref (single-threaded, zero-Ray) oracle's visits/extracted tables for
+    the pinned smoke crawl config — DuckDB reads those as the crawl_visits
+    / crawl_extracted oracle, making the flagship ordering + byte-identity
+    invariants driver-hash-checked."""
     from raycrawl.fixtures.gen_corpus import GEN_VERSION, generate
 
     out = f"/tmp/raycrawl_fixture_v{GEN_VERSION}_smoke"
     if not os.path.exists(os.path.join(out, "pages.parquet")):
         generate(out, n_hosts=20, n_pages=1000, seed=42)
+    if not os.path.exists(os.path.join(out, "visits_oracle.parquet")):
+        _write_crawl_oracle(out)
     return out
+
+
+def _write_crawl_oracle(corpus: str) -> None:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from raycrawl import pyref
+    from raycrawl.core import CrawlConfig
+
+    pages = pq.read_table(os.path.join(corpus, "pages.parquet")).to_pylist()
+    robots = pq.read_table(os.path.join(corpus, "robots.parquet")).to_pylist()
+    seeds_t = pq.read_table(os.path.join(corpus, "seeds.parquet")).to_pylist()
+    seeds = [r["url"] for r in sorted(seeds_t, key=lambda r: r["rank"])]
+    res = pyref.run_crawl(pages, robots, seeds, CrawlConfig(max_rounds=SMOKE_CRAWL_ROUNDS))
+    v = res.visit_order
+    pq.write_table(
+        pa.table(
+            {
+                "url": [r["url"] for r in v],
+                "round": pa.array([r["round"] for r in v], pa.int32()),
+                "priority": pa.array([r["priority"] for r in v], pa.int32()),
+                "host": [r["host"] for r in v],
+                "seq": pa.array([r["seq"] for r in v], pa.int64()),
+                "status": pa.array([r["status"] for r in v], pa.int32()),
+                "user_agent": [r["user_agent"] for r in v],
+            }
+        ),
+        os.path.join(corpus, "visits_oracle.parquet"),
+    )
+    e = res.extracted
+    pq.write_table(
+        pa.table(
+            {
+                "url": [r["url"] for r in e],
+                "text": [r["text"] for r in e],
+                "n_links": pa.array([r["n_links"] for r in e], pa.int32()),
+                "round": pa.array([r["round"] for r in e], pa.int32()),
+            }
+        ),
+        os.path.join(corpus, "extracted_oracle.parquet"),
+    )
 
 
 def q_extract_text(sf_dir: str):
@@ -56,20 +106,46 @@ def q_extract_text(sf_dir: str):
     return ds.map_batches(check, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _smoke_crawlout(corpus: str) -> str:
+    """Run the pinned smoke crawl ONCE per fixture cache (resume=True makes
+    re-entry a no-op on a completed out dir); shared by q_crawl_visits and
+    q_crawl_extracted so the driver doesn't pay two crawls."""
+    from raycrawl.core import CrawlConfig
+    from raycrawl.pipelines.crawl import run_crawl_ray
+
+    out = f"{corpus}_crawlout_r{SMOKE_CRAWL_ROUNDS}"
+    run_crawl_ray(
+        corpus, out,
+        CrawlConfig(max_rounds=SMOKE_CRAWL_ROUNDS, seen_shards=4), resume=True,
+    )
+    return out
+
+
 def q_crawl_visits(sf_dir: str):
-    """2-round crawl over the cached corpus; returns the visits table."""
+    """Pinned 2-round crawl over the cached corpus; returns the visits
+    table. DuckDB-checked against the pyref oracle parquet written at
+    fixture-generation time (ordering + status + UA rotation)."""
     import glob
 
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    from raycrawl.core import CrawlConfig
-    from raycrawl.pipelines.crawl import run_crawl_ray
-
-    corpus = _smoke_corpus_dir(sf_dir)
-    out = f"{corpus}_crawlout"
-    run_crawl_ray(corpus, out, CrawlConfig(max_rounds=2, seen_shards=4), resume=False)
+    out = _smoke_crawlout(_smoke_corpus_dir(sf_dir))
     tabs = [pq.read_table(f) for f in sorted(glob.glob(f"{out}/visits/round=*/*.parquet"))]
+    return pa.concat_tables(tabs, promote_options="default")
+
+
+def q_crawl_extracted(sf_dir: str):
+    """Extracted text THROUGH the crawl engine (politeness, snapshots,
+    content-type gate included) — byte-identity vs the pyref oracle
+    parquet, driver-hash-checked."""
+    import glob
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out = _smoke_crawlout(_smoke_corpus_dir(sf_dir))
+    tabs = [pq.read_table(f) for f in sorted(glob.glob(f"{out}/extracted/round=*/*.parquet"))]
     return pa.concat_tables(tabs, promote_options="default")
 
 
@@ -168,6 +244,11 @@ def build_queries() -> dict:
         "except_join": relational.q_except_join,
         # text analysis
         "token_count": textproc.token_counts,
+        # real subword tokenizer (offline deterministic BPE; rows-only —
+        # merge application is not SQL-expressible)
+        "token_count_bpe": lambda sf: __import__(
+            "raycrawl.bpe", fromlist=["x"]
+        ).token_count_bpe(sf),
         "text_quality": textproc.text_quality,
         "lang_id": textproc.language_id,  # rows-only (heuristic)
         "doc_fingerprint": textproc.fingerprints,  # rows-only
@@ -191,12 +272,13 @@ def build_queries() -> dict:
         "prep_corpus": lambda sf: __import__(
             "raycrawl.pipelines.prep", fromlist=["x"]
         ).prep_corpus(sf),
-        # crawl engine (extract_text/links are DuckDB-checked against the
-        # fixture's independent oracle columns; crawl_visits' oracle is
-        # pyref, asserted in pytest)
+        # crawl engine: extract_text/links DuckDB-checked against the
+        # fixture's independent oracle columns; crawl_visits/extracted
+        # DuckDB-checked against the pyref oracle parquet
         "extract_text": q_extract_text,
         "extract_links_count": q_extract_links_count,
         "crawl_visits": q_crawl_visits,
+        "crawl_extracted": q_crawl_extracted,
     }
 
 
@@ -210,6 +292,14 @@ def build_oracle_sql() -> dict:
         "extract_text": f"SELECT url, text FROM read_parquet('{pages_glob}')",
         "extract_links_count": (
             f"SELECT url, n_links FROM read_parquet('{pages_glob}')"
+        ),
+        "crawl_visits": (
+            "SELECT url, round, priority, host, seq, status, user_agent "
+            f"FROM read_parquet('{os.path.join(corpus, 'visits_oracle.parquet')}')"
+        ),
+        "crawl_extracted": (
+            "SELECT url, text, n_links, round "
+            f"FROM read_parquet('{os.path.join(corpus, 'extracted_oracle.parquet')}')"
         ),
         "sample_qa": (
             "SELECT doc_id FROM documents "
