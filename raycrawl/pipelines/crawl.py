@@ -579,18 +579,25 @@ def run_crawl_ray(
                     pages_path, columns=corpus_cols
                 ).materialize()
             else:
-                dmax_dict = dup_max.to_dict()
-                keep_ref = ray.put(dmax_dict)
+                # broadcast just {dup_url -> max_ts} as two aligned arrays;
+                # the filter is one vectorized index_in + take per batch
+                keep_ref = ray.put(
+                    (
+                        pa.array(list(dup_max.index), pa.string()),
+                        pa.array(list(dup_max.values), pa.timestamp("us")),
+                    )
+                )
 
                 def _latest_filter(t: pa.Table) -> pa.Table:
-                    dmax = ray.get(keep_ref)
-                    if not dmax:
+                    keys, maxts = ray.get(keep_ref)
+                    if len(keys) == 0:
                         return t
-                    mask = [
-                        (m := dmax.get(u)) is None or ts == m
-                        for u, ts in zip(t["url"].to_pylist(), t["warc_ts"].to_pandas())
-                    ]
-                    return t.filter(pa.array(mask))
+                    pos = pc.index_in(t["url"], value_set=keys)
+                    m = maxts.take(pos)  # null where url is single-snapshot
+                    keep = pc.or_kleene(
+                        pc.is_null(m), pc.equal(t["warc_ts"].cast(pa.timestamp("us")), m)
+                    )
+                    return t.filter(keep)
 
                 corpus_cached = (
                     rd.read_parquet(pages_path, columns=corpus_cols)
@@ -1100,8 +1107,11 @@ def main() -> None:
     ap.add_argument("--no-resume", action="store_true")
     args = ap.parse_args()
     if not ray.is_initialized():
+        # RAY_ADDRESS is how `ray job submit` hands the cluster to the
+        # entrypoint; standalone runs (sandbox default RAY_ADDRESS=local)
+        # start a local session.
         ray.init(
-            address="local", num_cpus=args.num_cpus,
+            address=os.environ.get("RAY_ADDRESS", "local"), num_cpus=args.num_cpus,
             include_dashboard=False, logging_level="ERROR",
         )
     rd.DataContext.get_current().enable_progress_bars = False

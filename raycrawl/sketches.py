@@ -96,9 +96,13 @@ def q_approx_distinct(sf_dir: str):
 
     import ray.data as rd
 
+    from ray.data.aggregate import Count
+
     ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["user_id"])
     est = approx_distinct(ds, "user_id")
-    exact = len(set(r["user_id"] for r in ds.take_all()))
+    # exact companion computed cluster-side: distinct keys reduce in the
+    # groupby shuffle; only the group count reaches the driver
+    exact = ds.groupby("user_id").aggregate(Count(alias_name="n")).count()
     return pa.table(
         {
             "estimate": pa.array([est], pa.float64()),
