@@ -26,15 +26,16 @@ MEDIA_SCHEMA = pa.schema(
 
 def _decode_stub(payload: bytes, media_type: str) -> dict:
     """STUB decode: real codecs are unavailable in this container.
-    Deterministic pseudo-features derived from the payload bytes — replace
+    Deterministic pseudo-features derived from md5(payload) — md5 so the
+    DuckDB oracle can recompute them (sha1 is unavailable there); replace
     with PIL.Image.open / soundfile in a codec-equipped environment
     (raises NotImplementedError for unknown media types)."""
     if media_type not in ("image", "audio", "video"):
         raise NotImplementedError(f"unknown media type: {media_type}")
-    digest = hashlib.sha1(payload).digest()
+    digest = hashlib.md5(payload).digest()
     return {
         "n_bytes": len(payload),
-        "sha1_prefix": digest[:8].hex(),
+        "digest_prefix": digest[:8].hex(),
         # fake dimensions, stable per payload
         "width": 64 + digest[0],
         "height": 64 + digest[1],
@@ -62,7 +63,7 @@ class MediaFeatureStage:
         out = t.drop_columns(["payload"])  # binary leaves the pipeline here
         out = out.append_column("n_bytes", pa.array([f["n_bytes"] for f in feats], pa.int64()))
         out = out.append_column(
-            "sha1_prefix", pa.array([f["sha1_prefix"] for f in feats], pa.string())
+            "digest_prefix", pa.array([f["digest_prefix"] for f in feats], pa.string())
         )
         out = out.append_column("width", pa.array([f["width"] for f in feats], pa.int32()))
         out = out.append_column("height", pa.array([f["height"] for f in feats], pa.int32()))

@@ -305,6 +305,23 @@ def build_oracle_sql() -> dict:
             "SELECT doc_id FROM documents "
             "WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) % 10 = 0"
         ),
+        # multimodal plumbing: the stub decode's fake features are pure
+        # md5(payload) functions, so the oracle recomputes them — this
+        # hash-checks the actor-pool stage's row alignment + schema
+        "media_features": (
+            "WITH m AS (SELECT doc_id, md5(text) AS h, "
+            "octet_length(encode(text)) AS nb FROM documents) "
+            "SELECT doc_id AS media_id, "
+            "CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' "
+            "ELSE 'video' END AS media_type, nb AS n_bytes, "
+            "64 + (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16 "
+            "+ (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) AS width, "
+            "64 + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16 "
+            "+ (strpos('0123456789abcdef', substr(h, 4, 1)) - 1) AS height, "
+            "1 + ((strpos('0123456789abcdef', substr(h, 5, 1)) - 1) * 16 "
+            "+ (strpos('0123456789abcdef', substr(h, 6, 1)) - 1)) % 3 AS channels "
+            "FROM m"
+        ),
         "read_pages_count": "SELECT count(*) AS n FROM documents",
         "lang_filter": "SELECT doc_id, lang FROM documents WHERE lang = 'en'",
         "filter_pred": (
