@@ -257,6 +257,7 @@ def build_queries() -> dict:
         "dedup_minhash": lambda sf: __import__("raycrawl.dedup", fromlist=["x"]).minhash_dedup(sf),
         "dedup_simhash": lambda sf: __import__("raycrawl.dedup", fromlist=["x"]).simhash_dedup(sf),
         "dedup_embedding": similarity.embedding_neardup,  # rows-only
+        "dedup_embedding_lsh": similarity.embedding_neardup_lsh,  # scale path
         # similarity search
         "ann_topk": similarity.ann_topk,
         "ann_topk_lsh": similarity.ann_topk_lsh,  # rows-only (approximate)

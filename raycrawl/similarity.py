@@ -24,6 +24,14 @@ import ray.data as rd
 
 _HYPERPLANES = np.random.RandomState(1234).randn(16, 64)
 
+# banded hyperplane tables for the near-dup LSH scale path: 4 independent
+# 8-bit sign signatures; near-identical vectors (cos >= ~0.97) agree on at
+# least one full band with high probability, so candidate generation is a
+# bucket groupby instead of an O(N^2) broadcast matmul.
+_NEARDUP_BANDS = 4
+_NEARDUP_BITS = 8
+_BAND_PLANES = np.random.RandomState(5678).randn(_NEARDUP_BANDS, _NEARDUP_BITS, 64)
+
 
 def _emb_matrix(t: pa.Table, col: str = "embedding") -> np.ndarray:
     arr = t[col]
@@ -243,6 +251,78 @@ def embedding_neardup(sf_dir: str, threshold: float = 0.97):
     )
     pairs = [(r["a"], r["b"]) for r in pairs_ds.take_all()]
     drop = _components_drop(pairs)
+    dref = ray.put(pa.array(sorted(drop), pa.int64()))
+    return rd.read_parquet(path, columns=["vec_id"]).map_batches(
+        _DropFilter, fn_constructor_args=(dref, "vec_id"),
+        batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 4),
+    )
+
+
+def embedding_neardup_lsh(sf_dir: str, threshold: float = 0.97):
+    """THE SCALE PATH for embedding near-dup: banded hyperplane LSH.
+
+    Candidate generation is a bucket groupby — each vector emits
+    `_NEARDUP_BANDS` (band_key, vec_id, embedding) rows; only vectors
+    sharing a full 8-bit sign band are pairwise-verified inside
+    `map_groups`. No corpus-sized broadcast, no O(N^2) matmul: shuffle
+    payload is bands x (8B key + 8B id + 256B vector) per row, and bucket
+    work is quadratic only in bucket occupancy. The verified-pair DROP set
+    (bounded by dup density) broadcasts back as a distributed filter —
+    same output contract as `embedding_neardup` (recall tested on planted
+    dups; exact equality is not guaranteed, which is why the brute-force
+    variant remains the small-scale default)."""
+    import pandas as pd
+
+    from raycrawl.dedup import _components_drop, _DropFilter
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+
+    def band_rows(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"bkey": pa.array([], pa.int64()),
+                 "vec_id": pa.array([], pa.int64()),
+                 "emb": pa.array([], pa.list_(pa.float64()))}
+            )
+        vids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+        m = _normalize(_emb_matrix(t))
+        keys, ids, embs = [], [], []
+        for b in range(_NEARDUP_BANDS):
+            signs = (m @ _BAND_PLANES[b].T) > 0  # (N, bits)
+            bucket = (signs * (1 << np.arange(_NEARDUP_BITS))).sum(axis=1)
+            keys.extend(((b << _NEARDUP_BITS) | bucket).tolist())
+            ids.extend(vids.tolist())
+            embs.extend(m.tolist())
+        return pa.table(
+            {
+                "bkey": pa.array(keys, pa.int64()),
+                "vec_id": pa.array(ids, pa.int64()),
+                "emb": pa.array(embs, pa.list_(pa.float64())),
+            }
+        )
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"a": [], "b": []}, dtype="int64")
+        g = g.sort_values("vec_id")
+        ids = g["vec_id"].to_numpy()
+        m = np.stack([np.asarray(e, dtype=np.float64) for e in g["emb"]])
+        s = m @ m.T
+        a_out, b_out = [], []
+        for i in range(len(ids)):
+            js = np.flatnonzero(s[i, i + 1 :] >= threshold)
+            a_out.extend([int(ids[i])] * len(js))
+            b_out.extend(ids[i + 1 + js].tolist())
+        return pd.DataFrame({"a": a_out, "b": b_out}, dtype="int64")
+
+    pairs_ds = (
+        rd.read_parquet(path, columns=["vec_id", "embedding"])
+        .map_batches(band_rows, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bkey")
+        .map_groups(bucket_pairs, batch_format="pandas")
+    )
+    pairs = {(int(r["a"]), int(r["b"])) for r in pairs_ds.take_all()}
+    drop = _components_drop(sorted(pairs))
     dref = ray.put(pa.array(sorted(drop), pa.int64()))
     return rd.read_parquet(path, columns=["vec_id"]).map_batches(
         _DropFilter, fn_constructor_args=(dref, "vec_id"),

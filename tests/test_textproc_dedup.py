@@ -154,3 +154,36 @@ class TestMultimodal:
 
         with pytest.raises(NotImplementedError):
             _decode_stub(b"x", "hologram")
+
+
+class TestEmbeddingLSH:
+    def test_lsh_neardup_finds_planted_dups(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        rng = np.random.RandomState(7)
+        base = rng.randn(20, 64)
+        # vecs 20..24 are near-copies of 0..4 (tiny perturbation)
+        dups = base[:5] + 0.001 * rng.randn(5, 64)
+        m = np.vstack([base, dups])
+        t = pa.table(
+            {
+                "vec_id": pa.array(range(25), pa.int64()),
+                "embedding": pa.array(
+                    [row.tolist() for row in m], pa.list_(pa.float32())
+                ),
+            }
+        )
+        d = tmp_path / "emb"
+        d.mkdir()
+        pq.write_table(t, str(d / "embeddings.parquet"))
+        out = similarity.embedding_neardup_lsh(str(d), threshold=0.97)
+        kept = sorted(out.to_pandas()["vec_id"])
+        # every planted dup (20..24) dropped in favour of its min-id twin
+        assert kept == list(range(20))
+
+    def test_lsh_neardup_keeps_all_when_no_dups(self, ray_session):
+        out = similarity.embedding_neardup_lsh(SF_DIR, threshold=0.999)
+        import pyarrow.parquet as pq
+
+        n = pq.read_table(f"{SF_DIR}/embeddings.parquet").num_rows
+        assert out.count() == n
