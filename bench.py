@@ -92,7 +92,7 @@ def bench_extract(corpus: str) -> dict:
     return {"sec": dt, "pages": n, "pages_per_sec": n / dt}
 
 
-def bench_extract_analyze(corpus: str, repeat: int = 2, warmup: bool = True) -> dict:
+def bench_extract_analyze(corpus: str, repeat: int = 4, warmup: bool = True) -> dict:
     """Scaling workload: fused parse + quality signals + simhash per page
     (compute-dense so per-task overhead is negligible), over `repeat`
     unions of the corpus, with one full warmup pass so worker-process
@@ -211,7 +211,7 @@ def run_once(args) -> dict:
         throughput["extract_pages_per_sec"] = round(r["pages_per_sec"], 1)
         total += r["sec"]
     if "extract_analyze" in components:
-        r = bench_extract_analyze(corpus)
+        r = bench_extract_analyze(corpus, repeat=args.repeat)
         queries["extract_analyze"] = round(r["sec"], 3)
         throughput["extract_analyze_pages_per_sec"] = round(r["pages_per_sec"], 1)
         total += r["sec"]
@@ -259,7 +259,8 @@ def run_scaling(args) -> dict:
     for _ in range(args.trials):
         for cpus in (args.cpus_low, args.cpus_high):
             cmd = [sys.executable, os.path.abspath(__file__), "--components",
-                   args.scaling_component, "--num-cpus", str(cpus)]
+                   args.scaling_component, "--num-cpus", str(cpus),
+                   "--repeat", str(args.repeat)]
             if has_taskset:
                 cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
             p = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO,
@@ -310,6 +311,7 @@ def main() -> None:
     ap.add_argument("--components", default="extract,crawl,queries")
     ap.add_argument("--scaling-component", default="extract_analyze")
     ap.add_argument("--trials", type=int, default=5)
+    ap.add_argument("--repeat", type=int, default=4)
     ap.add_argument("--num-cpus", type=int, default=None)
     ap.add_argument("--cpus-low", type=int, default=2)
     ap.add_argument("--cpus-high", type=int, default=8)

@@ -36,4 +36,6 @@ def smoke_corpus(tmp_path_factory):
     return out
 
 
-SF_DIR = "/root/testdata/sf0.001"
+# override with RAYCRAWL_SF_DIR=/root/testdata/sf0.01 to mirror the
+# driver's correctness scale (CLAUDE.md: keep green at BOTH)
+SF_DIR = os.environ.get("RAYCRAWL_SF_DIR", "/root/testdata/sf0.001")
