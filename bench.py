@@ -83,8 +83,15 @@ def bench_extract(corpus: str) -> dict:
             }
         )
 
+    import ray
+
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
     t0 = time.perf_counter()
-    ds = rd.read_parquet(os.path.join(corpus, "pages.parquet"), columns=["url", "html"])
+    # block count scales with parallelism: ~4 waves of ~1k-page tasks keeps
+    # every slot busy and amortizes stragglers (27 raw files < 32 slots
+    # would otherwise cap utilization below one wave)
+    ds = rd.read_parquet(os.path.join(corpus, "pages.parquet"), columns=["url", "html"],
+                         override_num_blocks=4 * ncpu)
     out = ds.map_batches(parse, batch_format="pyarrow", zero_copy_batch=True,
                          batch_size=1024)
     n = _consume(out)
@@ -122,7 +129,15 @@ def bench_extract_analyze(corpus: str, repeat: int = 4, warmup: bool = True) -> 
         )
         return quality_batch(out)
 
-    base = rd.read_parquet(os.path.join(corpus, "pages.parquet"), columns=["url", "html"])
+    import ray
+
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    # granularity scales with parallelism (~8 waves per union branch):
+    # measured on this host, 8-CPU worker utilization goes 0.74 -> 0.84
+    # versus the raw 31-file layout — stragglers in the last wave were the
+    # scaling bottleneck, not per-CPU efficiency (see BENCH/BASELINE.md)
+    base = rd.read_parquet(os.path.join(corpus, "pages.parquet"), columns=["url", "html"],
+                           override_num_blocks=8 * ncpu)
     if warmup:
         base.map_batches(
             parse_analyze, batch_format="pyarrow", zero_copy_batch=True, batch_size=1024
@@ -239,10 +254,50 @@ def run_once(args) -> dict:
     return result
 
 
+_MP_CONTROL = r"""
+import hashlib, sys, time
+from multiprocessing import Pool
+
+def burn(i):
+    h = b"x" * 64
+    for _ in range(200_000):
+        h = hashlib.sha1(h).digest()
+    return 1
+
+if __name__ == "__main__":
+    k = int(sys.argv[1])
+    with Pool(k) as p:
+        p.map(burn, range(k))  # warmup
+        t0 = time.perf_counter()
+        p.map(burn, range(k * 6))
+        print(k * 6 / (time.perf_counter() - t0))
+"""
+
+
+def _mp_control_throughput(cpus: int, has_taskset: bool) -> float:
+    """Pure-multiprocessing sha1 burn at `cpus` pinned cores — measures the
+    HOST's achievable scaling in the same time window as the pipeline
+    trials (this shared-tenant sandbox has hypervisor-level steal that
+    /proc cannot see and that varies by the hour)."""
+    import tempfile
+
+    with tempfile.NamedTemporaryFile("w", suffix=".py", delete=False) as f:
+        f.write(_MP_CONTROL)
+        path = f.name
+    cmd = [sys.executable, path, str(cpus)]
+    if has_taskset:
+        cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
+    p = subprocess.run(cmd, capture_output=True, text=True, timeout=600)
+    os.unlink(path)
+    return float(p.stdout.strip().splitlines()[-1])
+
+
 def run_scaling(args) -> dict:
     """Fresh subprocess per CPU level, same input (the sandbox proxy for
     the N-vs-4N-node criterion). Median of `--trials` runs per level — the
-    sandbox shows double-digit run-to-run variance."""
+    sandbox shows double-digit run-to-run variance. Every trial also runs
+    the mp control at both levels so the pipeline's efficiency can be
+    normalized by the machine's OWN achievable scaling in that window."""
     import statistics
 
     ensure_bench_corpus()  # generate once, outside the timed runs
@@ -256,8 +311,10 @@ def run_scaling(args) -> dict:
     # low-CPU level and understates scaling. Affinity makes the run an
     # honest proxy for an N-core cluster node.
     has_taskset = _shutil.which("taskset") is not None
+    control: dict[int, list[float]] = {args.cpus_low: [], args.cpus_high: []}
     for _ in range(args.trials):
         for cpus in (args.cpus_low, args.cpus_high):
+            control[cpus].append(_mp_control_throughput(cpus, has_taskset))
             cmd = [sys.executable, os.path.abspath(__file__), "--components",
                    args.scaling_component, "--num-cpus", str(cpus),
                    "--repeat", str(args.repeat)]
@@ -278,6 +335,10 @@ def run_scaling(args) -> dict:
     ]
     eff = statistics.median(ratios) / factor
     eff_min = min(ratios) / factor
+    ctrl_ratios = [
+        h / l for l, h in zip(control[args.cpus_low], control[args.cpus_high])
+    ]
+    ctrl_eff = statistics.median(ctrl_ratios) / factor
     return {
         "metric": "scaling_efficiency",
         "value": round(eff, 3),
@@ -301,6 +362,10 @@ def run_scaling(args) -> dict:
             "efficiency": round(eff, 3),
             "efficiency_min": round(eff_min, 3),
             "per_trial_ratios": [round(r / factor, 3) for r in ratios],
+            "host_control_samples": control,
+            "host_control_efficiency": round(ctrl_eff, 3),
+            "host_control_per_trial": [round(r / factor, 3) for r in ctrl_ratios],
+            "ceiling_normalized_efficiency": round(eff / ctrl_eff, 3) if ctrl_eff else None,
         },
     }
 

@@ -1,0 +1,119 @@
+"""Host-graph PageRank — an iterative link-analysis operator for frontier
+prioritization (the reference exposes a static per-request `priority`;
+a rank signal over the host graph is the natural large-scale upgrade).
+
+Ray shape (10^10-page design point):
+- The page->page link graph is huge, but the HOST graph is small by
+  definition (hosts << pages). Edge extraction + (src_host, dst_host)
+  weight aggregation run distributed (map_batches -> groupby sum); only
+  the aggregated host-level edge table leaves the cluster.
+- Power iteration then runs on the driver over that bounded host table
+  (a few floats per host). If the host set ever outgrew memory, each
+  iteration maps to: broadcast rank vector -> map_batches over edges
+  (contrib = rank[src] * w / outdeg[src]) -> groupby(dst) sum — the same
+  aggregation path already used for the edge build.
+
+Deterministic: fixed iteration count, float64, stable host ordering.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import ray.data as rd
+
+from raycrawl import core
+
+
+def _edge_batch(t: pa.Table) -> pa.Table:
+    """One (src_host, dst_host) row per extracted link (self-loops kept:
+    same-host links are real crawl-order signal)."""
+    srcs, dsts = [], []
+    if "content_type" in t.column_names:
+        ctypes = t["content_type"].to_pylist()
+    else:
+        ctypes = [None] * t.num_rows
+    for url, html, ct in zip(
+        t["url"].to_pylist(), t["html"].to_pylist(), ctypes
+    ):
+        if ct is not None and not ct.startswith("text/html"):
+            continue  # M10: non-HTML pages contribute no edges
+        src = core.host_of(url)
+        for link in core.extract_links(html or b"", url or ""):
+            srcs.append(src)
+            dsts.append(core.host_of(link))
+    return pa.table(
+        {"src": pa.array(srcs, pa.string()), "dst": pa.array(dsts, pa.string())}
+    )
+
+
+def host_edges(corpus_dir: str) -> pa.Table:
+    """Distributed edge aggregation: (src, dst, weight) host-level table.
+    The per-page link explosion never leaves the cluster unaggregated."""
+    from ray.data.aggregate import Count
+
+    cols = ["url", "html"]
+    import pyarrow.parquet as pq
+
+    pages_path = os.path.join(corpus_dir, "pages.parquet")
+    first = (
+        os.path.join(pages_path, sorted(os.listdir(pages_path))[0])
+        if os.path.isdir(pages_path) else pages_path
+    )
+    if "content_type" in pq.read_schema(first).names:
+        cols.append("content_type")
+    edges = (
+        rd.read_parquet(pages_path, columns=cols)
+        .map_batches(_edge_batch, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["src", "dst"])
+        .aggregate(Count(alias_name="weight"))
+    )
+    return edges.to_pandas()
+
+
+def pagerank(edges, damping: float = 0.85, n_iter: int = 20) -> dict[str, float]:
+    """Power iteration over the aggregated host edge table (pandas df with
+    src/dst/weight). Dangling mass redistributes uniformly."""
+    hosts = sorted(set(edges["src"]) | set(edges["dst"]))
+    n = len(hosts)
+    if n == 0:
+        return {}
+    idx = {h: i for i, h in enumerate(hosts)}
+    import numpy as np
+
+    src = edges["src"].map(idx).to_numpy()
+    dst = edges["dst"].map(idx).to_numpy()
+    w = edges["weight"].to_numpy().astype(np.float64)
+    outdeg = np.zeros(n)
+    np.add.at(outdeg, src, w)
+    rank = np.full(n, 1.0 / n)
+    for _ in range(n_iter):
+        contrib = np.zeros(n)
+        nz = outdeg[src] > 0
+        np.add.at(contrib, dst[nz], rank[src[nz]] * w[nz] / outdeg[src[nz]])
+        dangling = rank[outdeg == 0].sum()
+        rank = (1 - damping) / n + damping * (contrib + dangling / n)
+    return {h: float(rank[idx[h]]) for h in hosts}
+
+
+def host_pagerank(corpus_dir: str, damping: float = 0.85, n_iter: int = 20) -> pa.Table:
+    """(host, rank) table, rank descending then host — the frontier
+    prioritization signal (feed into CrawlConfig priority assignment)."""
+    edges = host_edges(corpus_dir)
+    ranks = pagerank(edges, damping, n_iter)
+    items = sorted(ranks.items(), key=lambda kv: (-kv[1], kv[0]))
+    return pa.table(
+        {
+            "host": pa.array([h for h, _ in items], pa.string()),
+            "rank": pa.array([r for _, r in items], pa.float64()),
+        }
+    )
+
+
+def q_host_pagerank(sf_dir: str) -> pa.Table:
+    """queries() surface (rows-only: iterative float algorithm): PageRank
+    over the smoke corpus host graph."""
+    from raycrawl.registry import _smoke_corpus_dir
+
+    return host_pagerank(_smoke_corpus_dir(sf_dir))

@@ -263,6 +263,10 @@ def build_queries() -> dict:
         "ann_topk_lsh": similarity.ann_topk_lsh,  # rows-only (approximate)
         # sampling (O4): deterministic hash-threshold sample, oracle-checked
         "sample_qa": q_sample_qa,
+        # iterative link analysis (rows-only: float power iteration)
+        "host_pagerank": lambda sf: __import__(
+            "raycrawl.graphrank", fromlist=["x"]
+        ).q_host_pagerank(sf),
         # sketches (rows-only: approximate by construction)
         "approx_distinct": lambda sf: __import__(
             "raycrawl.sketches", fromlist=["x"]
