@@ -224,6 +224,7 @@ def build_queries() -> dict:
         "distinct": relational.q_distinct,
         "partial_final": relational.q_partial_final,
         "window_agg": relational.q_window_agg,
+        "window_sliding": relational.q_window_sliding,
         # joins (J1-J5)
         "join_fetch": relational.q_join_fetch,
         "anti_join": relational.q_anti_join,
@@ -368,6 +369,15 @@ def build_oracle_sql() -> dict:
         "window_agg": (
             "SELECT event_type, epoch_us(ts) // 3600000000 AS hour_id, "
             "count(*) AS n FROM events GROUP BY 1, 2"
+        ),
+        "window_sliding": (
+            "WITH hourly AS (SELECT event_type, "
+            "epoch_us(ts) // 3600000000 AS hour_id, count(*) AS n "
+            "FROM events GROUP BY 1, 2) "
+            "SELECT event_type, hour_id, n, "
+            "CAST(sum(n) OVER (PARTITION BY event_type ORDER BY hour_id "
+            "RANGE BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_3h "
+            "FROM hourly"
         ),
         "join_fetch": (
             "SELECT l_orderkey AS orderkey, o_custkey AS custkey, "

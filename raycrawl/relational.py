@@ -450,6 +450,41 @@ def q_pipeline_nation_rollup(sf_dir: str):
     )
 
 
+def q_window_sliding(sf_dir: str):
+    """Sliding (rolling) windowed aggregate: per event_type, the trailing
+    3-hour event count at each hour. Composition: tumbling hourly partial
+    (shrinks the shuffle to one row per (type, hour)) -> groupby(type)
+    map_groups computing the rolling sum over the SORTED hour sequence.
+    Partitioning assumption: one event_type's hourly series fits one task
+    (hours are bounded: cardinality = time-range/3600s, not data size)."""
+
+    def bucket(t: pa.Table) -> pa.Table:
+        us = t["ts"].cast(pa.int64())
+        hour = pc.divide(us, 3_600_000_000)
+        return pa.table({"event_type": t["event_type"], "hour_id": hour})
+
+    from ray.data.aggregate import Count
+
+    hourly = (
+        _pq(sf_dir, "events", ["event_type", "ts"])
+        .map_batches(bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["event_type", "hour_id"])
+        .aggregate(Count(alias_name="n"))
+    )
+
+    def rolling(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("hour_id", kind="mergesort").reset_index(drop=True)
+        hours = g["hour_id"].to_numpy()
+        ns = g["n"].to_numpy()
+        # RANGE frame [hour-2, hour]: sum counts of hours within distance 2
+        # (hour gaps respected — this is a range window, not a row window)
+        out = [int(ns[(hours >= h - 2) & (hours <= h)].sum()) for h in hours]
+        g["n_3h"] = out
+        return g[["event_type", "hour_id", "n", "n_3h"]]
+
+    return hourly.groupby("event_type").map_groups(rolling, batch_format="pandas")
+
+
 def q_union_all(sf_dir: str):
     a = _pq(sf_dir, "documents", ["doc_id", "lang"]).filter(expr="lang == 'en'")
     b = _pq(sf_dir, "documents", ["doc_id", "lang"]).filter(expr="lang == 'de'")
