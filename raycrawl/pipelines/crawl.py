@@ -733,8 +733,17 @@ def run_crawl_ray(
                     ).map_batches(
                         _enforce_frontier_schema, batch_format="pyarrow", zero_copy_batch=True
                     )
+                    # shuffle width sized to the cluster: the hash-shuffle
+                    # join spawns one aggregator ACTOR pool scaled by
+                    # num_partitions; on a small cluster a 16-wide join's
+                    # actors reserve every CPU and starve the upstream map
+                    # tasks — a deadlock observed at 4 CPUs (fine at 8+).
+                    n_parts = min(
+                        cfg.num_partitions,
+                        max(2, int(ray.cluster_resources().get("CPU", 8)) // 2),
+                    )
                     joined = left.join(
-                        corpus, "left_outer", num_partitions=cfg.num_partitions,
+                        corpus, "left_outer", num_partitions=n_parts,
                         on=("url_norm",), right_on=("url",),
                     )
                     # after the join `url` is the frontier's RAW form; downstream

@@ -21,9 +21,8 @@ def large_corpus(tmp_path_factory):
     return out
 
 
-def test_large_corpus_equivalence(ray_session, large_corpus, tmp_path):
-    from raycrawl.pipelines.crawl import run_crawl_ray
-
+@pytest.fixture(scope="module")
+def large_oracle(large_corpus):
     pages = pq.read_table(f"{large_corpus}/pages.parquet").to_pylist()
     robots = pq.read_table(f"{large_corpus}/robots.parquet").to_pylist()
     seeds = [
@@ -33,8 +32,23 @@ def test_large_corpus_equivalence(ray_session, large_corpus, tmp_path):
             key=lambda r: r["rank"],
         )
     ]
-    cfg = CrawlConfig(max_rounds=4, seen_shards=8)
-    oracle = pyref.run_crawl(pages, robots, seeds, cfg)
+    return pyref.run_crawl(pages, robots, seeds, CrawlConfig(max_rounds=4, seen_shards=8))
+
+
+@pytest.mark.parametrize(
+    "extra",
+    [
+        {},  # hybrid default (driver path at this size)
+        {"driver_round_threshold": 0},  # full distributed expansion path
+        {"driver_round_threshold": 0, "fetch_strategy": "join"},  # scale path
+    ],
+    ids=["default", "distributed", "distributed_join"],
+)
+def test_large_corpus_equivalence(ray_session, large_corpus, large_oracle, tmp_path, extra):
+    from raycrawl.pipelines.crawl import run_crawl_ray
+
+    oracle = large_oracle
+    cfg = CrawlConfig(max_rounds=4, seen_shards=8, extra=dict(extra))
     out = str(tmp_path / "large")
     run_crawl_ray(large_corpus, out, cfg, resume=False)
 
