@@ -262,6 +262,7 @@ def build_queries() -> dict:
         # similarity search
         "ann_topk": similarity.ann_topk,
         "ann_topk_lsh": similarity.ann_topk_lsh,  # rows-only (approximate)
+        "ann_topk_ivf": similarity.ann_topk_ivf,  # rows-only (approximate)
         # sampling (O4): deterministic hash-threshold sample, oracle-checked
         "sample_qa": q_sample_qa,
         # iterative link analysis (rows-only: float power iteration)

@@ -210,6 +210,111 @@ def ann_topk_lsh(sf_dir: str, k: int = 5, n_queries: int = 10, probes: int = 4) 
     )
 
 
+def _kmeans(m: np.ndarray, k: int, n_iter: int = 10, seed: int = 99) -> np.ndarray:
+    """Deterministic Lloyd's k-means on normalized vectors (cosine ≈
+    euclidean on the unit sphere). Fixed seed + iteration count."""
+    rng = np.random.RandomState(seed)
+    cent = m[rng.choice(len(m), size=min(k, len(m)), replace=False)].copy()
+    for _ in range(n_iter):
+        assign = np.argmax(m @ cent.T, axis=1)
+        for c in range(len(cent)):
+            mask = assign == c
+            if mask.any():
+                v = m[mask].mean(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    cent[c] = v / n
+    return cent
+
+
+def ann_topk_ivf(
+    sf_dir: str, k: int = 5, n_queries: int = 10,
+    n_cells: int = 32, n_probe: int = 4, train_sample: int = 4096,
+) -> pa.Table:
+    """IVF variant (the coarse-quantizer scale path): k-means centroids
+    trained ONCE on a deterministic driver-side sample and broadcast;
+    each corpus batch scores only vectors whose nearest centroid is among
+    the query's `n_probe` closest cells — pruning the matmul ~n_probe/
+    n_cells while staying shuffle-free (candidate generation and partial
+    top-k happen inside one map_batches pass, tiny driver merge).
+    Same output schema as ann_topk; recall measured in tests."""
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    full = pq.read_table(path, columns=["vec_id", "embedding"])
+    order = pa.compute.sort_indices(full["vec_id"])
+    sample = full.take(order.slice(0, min(train_sample, full.num_rows)))
+    cents = _kmeans(_normalize(_emb_matrix(sample)), n_cells)
+
+    qt = full.filter(pa.compute.less(full["vec_id"], n_queries))
+    qids = qt["vec_id"].to_pylist()
+    qm = _normalize(_emb_matrix(qt))
+    # per query: the n_probe nearest cells
+    qcells = np.argsort(-(qm @ cents.T), axis=1)[:, :n_probe]
+    ref = ray.put((qids, qm, qcells, cents))
+
+    class Stage:
+        def __init__(self, r, k):
+            self.qids, self.qm, self.qcells, self.cents = (
+                ray.get(r) if isinstance(r, ray.ObjectRef) else r
+            )
+            self.k = k
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return pa.table(
+                    {"query_id": pa.array([], pa.int64()),
+                     "neighbor_id": pa.array([], pa.int64()),
+                     "score": pa.array([], pa.float64())}
+                )
+            vids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+            m = _normalize(_emb_matrix(t))
+            cell = np.argmax(m @ self.cents.T, axis=1)
+            out_q, out_n, out_s = [], [], []
+            for qi, qid in enumerate(self.qids):
+                mask = np.isin(cell, self.qcells[qi]) & (vids != qid)
+                idx = np.flatnonzero(mask)
+                if idx.size == 0:
+                    continue
+                col = m[idx] @ self.qm[qi]
+                take = np.argsort(-col, kind="stable")[: self.k]
+                out_q.extend([qid] * len(take))
+                out_n.extend(vids[idx][take].tolist())
+                out_s.extend(col[take].tolist())
+            return pa.table(
+                {
+                    "query_id": pa.array(out_q, pa.int64()),
+                    "neighbor_id": pa.array(out_n, pa.int64()),
+                    "score": pa.array(out_s, pa.float64()),
+                }
+            )
+
+    ds = rd.read_parquet(path, columns=["vec_id", "embedding"])
+    cands = ds.map_batches(
+        Stage, fn_constructor_args=(ref, k),
+        batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8),
+    )
+    best: dict[int, list] = {}
+    for b in cands.iter_batches(batch_format="pyarrow"):
+        for q, n, s in zip(
+            b["query_id"].to_pylist(), b["neighbor_id"].to_pylist(), b["score"].to_pylist()
+        ):
+            best.setdefault(q, []).append((-s, n))
+    out_q, out_r, out_n = [], [], []
+    for q in sorted(best):
+        for rank, (_, n) in enumerate(heapq.nsmallest(k, best[q]), start=1):
+            out_q.append(q)
+            out_r.append(rank)
+            out_n.append(n)
+    return pa.table(
+        {
+            "query_id": pa.array(out_q, pa.int64()),
+            "rank": pa.array(out_r, pa.int64()),
+            "neighbor_id": pa.array(out_n, pa.int64()),
+        }
+    )
+
+
 def embedding_neardup(sf_dir: str, threshold: float = 0.97):
     """Embedding-cosine near-dup keep-list: pairs above threshold found by
     per-batch matmul against the broadcast corpus matrix (OK to broadcast:

@@ -187,3 +187,20 @@ class TestEmbeddingLSH:
 
         n = pq.read_table(f"{SF_DIR}/embeddings.parquet").num_rows
         assert out.count() == n
+
+
+class TestIVF:
+    def test_ivf_recall_reasonable(self, ray_session):
+        exact = similarity.ann_topk(SF_DIR, k=5, n_queries=5).to_pandas()
+        approx = similarity.ann_topk_ivf(SF_DIR, k=5, n_queries=5, n_probe=8).to_pandas()
+        hits = 0
+        for q in range(5):
+            e = set(exact[exact.query_id == q]["neighbor_id"])
+            a = set(approx[approx.query_id == q]["neighbor_id"])
+            hits += len(e & a)
+        assert hits / 25 >= 0.4  # IVF trades recall for an ~n_probe/n_cells matmul
+
+    def test_ivf_deterministic(self, ray_session):
+        a = similarity.ann_topk_ivf(SF_DIR, k=3, n_queries=3)
+        b = similarity.ann_topk_ivf(SF_DIR, k=3, n_queries=3)
+        assert a.equals(b)
