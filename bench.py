@@ -376,7 +376,7 @@ def main() -> None:
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--components", default="extract,crawl,queries")
     ap.add_argument("--scaling-component", default="extract_analyze")
-    ap.add_argument("--trials", type=int, default=5)
+    ap.add_argument("--trials", type=int, default=2)
     ap.add_argument("--repeat", type=int, default=4)
     ap.add_argument("--num-cpus", type=int, default=None)
     ap.add_argument("--cpus-low", type=int, default=2)
