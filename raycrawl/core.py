@@ -401,6 +401,10 @@ class CrawlConfig:
     max_depth: int = 8
     max_pages: int = 0  # I5: stop before a round once visits >= budget (0 = off)
     priority_default: int = 5
+    # per-host priority overrides (e.g. derived from graphrank.host_pagerank):
+    # applied at DISCOVERY time (seeds + extracted links) in both engines;
+    # lower sorts first in the (priority, host, seq) crawl order.
+    host_priorities: dict = field(default_factory=dict)
     rate_limit_ms: int = 0
     round_duration_ms: int = 60_000
     max_per_host_round: int = 10_000

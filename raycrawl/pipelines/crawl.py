@@ -148,7 +148,8 @@ def seeds_to_frontier(seed_urls: list[str], cfg: CrawlConfig,
         hashes.append(h)
         rows.append(
             dict(url=url, url_norm=norm, url_hash=h, host=host, depth=0,
-                 priority=cfg.priority_default, parent_url="", seq=rank,
+                 priority=cfg.host_priorities.get(host, cfg.priority_default),
+                 parent_url="", seq=rank,
                  attempt=0, not_before_round=0, discovered_round=0)
         )
     return _frontier_table(rows), hashes
@@ -301,6 +302,7 @@ def _explode_links(t: pa.Table, cfg: CrawlConfig, rnd: int) -> pa.Table:
                            "not_before_round", "discovered_round")}
     canon, uh, hof, cseq = (core.canonicalize_url, core.url_hash,
                             core.host_of, core.child_seq)
+    hp, pdefault = cfg.host_priorities, cfg.priority_default
     for links, parent_url, pdepth, pseq in zip(
         t["links"].to_pylist(), t["url_norm"].to_pylist(),
         t["depth"].to_pylist(), t["seq"].to_pylist()
@@ -312,12 +314,13 @@ def _explode_links(t: pa.Table, cfg: CrawlConfig, rnd: int) -> pa.Table:
             norm = canon(link)
             if not norm:
                 continue
+            host = hof(norm)
             out["url"].append(link)
             out["url_norm"].append(norm)
             out["url_hash"].append(uh(norm))
-            out["host"].append(hof(norm))
+            out["host"].append(host)
             out["depth"].append(depth)
-            out["priority"].append(cfg.priority_default)
+            out["priority"].append(hp.get(host, pdefault) if hp else pdefault)
             out["parent_url"].append(parent_url)
             out["seq"].append(cseq(pseq, li))
             out["attempt"].append(0)

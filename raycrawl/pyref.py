@@ -101,7 +101,11 @@ def run_crawl(
             continue
         res.seen.add(h)
         frontier.append(
-            FrontierRow(url, norm, h, core.host_of(norm), 0, cfg.priority_default, "", rank)
+            FrontierRow(
+                url, norm, h, core.host_of(norm), 0,
+                cfg.host_priorities.get(core.host_of(norm), cfg.priority_default),
+                "", rank,
+            )
         )
 
     total_visits = 0
@@ -205,7 +209,9 @@ def run_crawl(
                     next_new.append(
                         FrontierRow(
                             link, norm, core.url_hash(norm), core.host_of(norm),
-                            r.depth + 1, cfg.priority_default, r.url_norm,
+                            r.depth + 1,
+                            cfg.host_priorities.get(core.host_of(norm), cfg.priority_default),
+                            r.url_norm,
                             core.child_seq(r.seq, li), 0, 0, rnd + 1,
                         )
                     )

@@ -66,3 +66,31 @@ def test_max_pages_budget(ray_session, smoke_corpus, tmp_path):
     exceed the budget — equivalently."""
     cfg = CrawlConfig(max_rounds=5, seen_shards=2, max_pages=20)
     _run_and_compare(smoke_corpus, tmp_path, cfg, "budget")
+
+
+def test_host_priority_equivalence(ray_session, smoke_corpus, tmp_path):
+    """Per-host priority overrides (the graphrank.host_pagerank feed-in):
+    both engines apply them at discovery time and the (priority, host,
+    seq) crawl order changes identically. Non-vacuous: hosts are pushed
+    to both sides of the default priority."""
+    prio = {"h000.example": 1, "h001.example": 2, "h003.example": 9}
+    cfg = CrawlConfig(max_rounds=3, seen_shards=4, host_priorities=prio)
+    _run_and_compare(smoke_corpus, tmp_path, cfg, "hostprio")
+    # sanity: the override actually moved rows off the default priority
+    pages, robots, seeds = _load_corpus(smoke_corpus)
+    oracle = pyref.run_crawl(pages, robots, seeds, cfg)
+    prios = {v["priority"] for v in oracle.visit_order}
+    assert {1, 9} & prios, prios
+
+
+def test_pagerank_derived_priorities_run(ray_session, smoke_corpus, tmp_path):
+    """End-to-end: rank the host graph, map ranks to priority buckets,
+    crawl with them — the full 'link analysis drives scheduling' loop."""
+    from raycrawl import graphrank
+
+    t = graphrank.host_pagerank(smoke_corpus)
+    hosts = t["host"].to_pylist()
+    # top-5 hosts get priority 1, next 5 get 3, rest default
+    prio = {h: 1 for h in hosts[:5]} | {h: 3 for h in hosts[5:10]}
+    cfg = CrawlConfig(max_rounds=2, seen_shards=4, host_priorities=prio)
+    _run_and_compare(smoke_corpus, tmp_path, cfg, "rankprio")
