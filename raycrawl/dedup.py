@@ -154,6 +154,7 @@ def band_explode_slim(t: pa.Table) -> pa.Table:
 
 
 _BUCKET_CAP = 200
+_N_BUCKET_PARTS = 64  # bkey-hash partitions for candidate generation
 
 
 def _bucket_candidate_pairs(g: pd.DataFrame) -> pd.DataFrame:
@@ -174,6 +175,25 @@ def _bucket_candidate_pairs(g: pd.DataFrame) -> pd.DataFrame:
             a_out.append(ids[i])
             b_out.append(ids[j])
     return pd.DataFrame({"a": a_out, "b": b_out}, dtype="int64")
+
+
+def _partition_candidate_pairs(g: pd.DataFrame) -> pd.DataFrame:
+    """Candidate pairs for ONE bkey-hash partition. Most band buckets are
+    singletons; a per-BUCKET map_groups would pay one Python call per
+    bucket (~16x corpus size). Grouping by `part = bkey % P` instead gives
+    P Python calls, and the singleton kill inside is a vectorized pandas
+    transform — only multi-occupancy buckets reach the pair loop."""
+    sizes = g.groupby("bkey")["doc_id"].transform("size")
+    multi = g[sizes >= 2]
+    if multi.empty:
+        return pd.DataFrame({"a": [], "b": []}, dtype="int64")
+    frames = [
+        _bucket_candidate_pairs(sub) for _, sub in multi.groupby("bkey", sort=False)
+    ]
+    frames = [f for f in frames if len(f)]
+    if not frames:
+        return pd.DataFrame({"a": [], "b": []}, dtype="int64")
+    return pd.concat(frames, ignore_index=True)
 
 
 def _bucket_pairs(g: pd.DataFrame, threshold: float) -> pd.DataFrame:
@@ -243,13 +263,27 @@ def minhash_drop_ids(sf_dir: str, threshold: float = 0.7) -> set[int]:
     pulls ONLY the candidate signatures (bounded by true-duplicate
     density, not corpus size) and checks signature agreement >= threshold.
     Only pair ids ever reach the driver — never the full corpus id list."""
-    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    # single-parquet-file inputs split into few blocks by default; size the
+    # signature stage's task count to the cluster so every core works
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"],
+        override_num_blocks=4 * ncpu,
+    )
     sigs = docs.map_batches(
         minhash_batch, batch_format="pyarrow", zero_copy_batch=True
     ).materialize()
-    banded = sigs.map_batches(band_explode_slim, batch_format="pyarrow")
-    pairs_ds = banded.groupby("bkey").map_groups(
-        _bucket_candidate_pairs, batch_format="pandas"
+    banded = sigs.map_batches(band_explode_slim, batch_format="pyarrow").map_batches(
+        lambda t: t.append_column(
+            "part", pc.cast(
+                pc.bit_wise_and(t["bkey"], pa.scalar(_N_BUCKET_PARTS - 1, pa.uint64())),
+                pa.int32(),
+            )
+        ),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    pairs_ds = banded.groupby("part").map_groups(
+        _partition_candidate_pairs, batch_format="pandas"
     )
     pairs = set()  # dedup pair list (bands can emit the same pair many times)
     dropped_cands = 0
@@ -354,7 +388,11 @@ def simhash_dedup(sf_dir: str, max_hamming: int = 3) -> rd.Dataset:
     shares at least one exact 16-bit band by pigeonhole), verified by true
     hamming distance in-bucket. Returns kept doc_ids as a Dataset (drop
     set broadcast, keep applied distributed)."""
-    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"],
+        override_num_blocks=4 * ncpu,
+    )
     sh = docs.map_batches(simhash_batch, batch_format="pyarrow", zero_copy_batch=True)
 
     def explode(t: pa.Table) -> pa.Table:
