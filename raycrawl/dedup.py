@@ -436,8 +436,9 @@ def exact_dup_drop_ids(sf_dir: str) -> set[int]:
     from raycrawl import core
 
     def hash_text(t: pa.Table) -> pa.Table:
-        hs = [core.url_hash(x) for x in t["text"].to_pylist()]
-        return pa.table({"doc_id": t["doc_id"], "h": pa.array(hs, pa.uint64())})
+        # 63-bit int64 key — see relational.q_dedup_exact (same group key)
+        hs = [core.url_hash(x) & ((1 << 63) - 1) for x in t["text"].to_pylist()]
+        return pa.table({"doc_id": t["doc_id"], "h": pa.array(hs, pa.int64())})
 
     def non_min(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) < 2:

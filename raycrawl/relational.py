@@ -352,8 +352,11 @@ def q_dedup_exact(sf_dir: str):
     Shuffle key is a 64-bit content hash, not the text itself."""
 
     def hash_text(t: pa.Table) -> pa.Table:
-        hs = [core.url_hash(x) for x in t["text"].to_pylist()]
-        return pa.table({"doc_id": t["doc_id"], "h": pa.array(hs, pa.uint64())})
+        # 63-bit mask keeps the shuffle key a NATIVE int64: Ray's aggregate
+        # round-trips key values through Python ints and falls back to
+        # pickled-object columns on uint64 overflow (slow, noisy)
+        hs = [core.url_hash(x) & ((1 << 63) - 1) for x in t["text"].to_pylist()]
+        return pa.table({"doc_id": t["doc_id"], "h": pa.array(hs, pa.int64())})
 
     return (
         _pq(sf_dir, "documents", ["doc_id", "text"])
