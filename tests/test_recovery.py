@@ -164,3 +164,35 @@ def test_max_pages_budget_survives_resume(ray_session, smoke_corpus, tmp_path):
         (r["url"], r["round"], r["seq"], r["status"]) for r in want
     ]
     assert _ray_seen(out) == oracle.seen
+
+
+def test_resume_on_join_strategy(ray_session, smoke_corpus, tmp_path):
+    """I4 on the SCALE path: a crawl using the Dataset.join fetch strategy
+    interrupted after round 0 and resumed must equal the oracle, same as
+    the broadcast path does."""
+    from raycrawl.pipelines.crawl import run_crawl_ray
+
+    extra = {"fetch_strategy": "join", "driver_round_threshold": 0}
+    pages, robots, seeds = _load_corpus(smoke_corpus)
+    oracle = pyref.run_crawl(
+        pages, robots, seeds, CrawlConfig(max_rounds=3, seen_shards=4)
+    )
+    out = str(tmp_path / "join_resume")
+    run_crawl_ray(
+        smoke_corpus, out,
+        CrawlConfig(max_rounds=1, seen_shards=4, extra=dict(extra)), resume=False,
+    )
+    summary = run_crawl_ray(
+        smoke_corpus, out,
+        CrawlConfig(max_rounds=3, seen_shards=4, extra=dict(extra)), resume=True,
+    )
+    assert summary["resumed_at"] == 1
+    got = _ray_visits(out)
+    want = sorted(
+        oracle.visit_order,
+        key=lambda r: (r["round"], r["priority"], r["host"], r["seq"]),
+    )
+    assert [(r["url"], r["round"], r["seq"], r["status"]) for r in got] == [
+        (r["url"], r["round"], r["seq"], r["status"]) for r in want
+    ]
+    assert _ray_seen(out) == oracle.seen
