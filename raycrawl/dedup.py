@@ -160,21 +160,25 @@ _N_BUCKET_PARTS = 64  # bkey-hash partitions for candidate generation
 def _bucket_candidate_pairs(g: pd.DataFrame) -> pd.DataFrame:
     """Within one band bucket: all candidate id pairs (a < b), capped per
     bucket to bound pathological buckets. A capped bucket emits a marker
-    row (a = -1, b = #ids dropped) so the driver can count and LOG the
-    truncation — no silent caps."""
+    row carried in a SEPARATE `dropped` column (count of truncated ids;
+    0 on real pair rows) so the driver can count and LOG the truncation —
+    no silent caps, and no in-band sentinel that a corpus with negative
+    doc_ids could collide with."""
     if len(g) < 2:
-        return pd.DataFrame({"a": [], "b": []}, dtype="int64")
+        return pd.DataFrame({"a": [], "b": [], "dropped": []}, dtype="int64")
     all_ids = sorted(int(x) for x in g["doc_id"].unique())
     ids = all_ids[:_BUCKET_CAP]
-    a_out, b_out = [], []
+    a_out, b_out, drop_out = [], [], []
     if len(all_ids) > _BUCKET_CAP:
-        a_out.append(-1)
-        b_out.append(len(all_ids) - _BUCKET_CAP)
+        a_out.append(0)
+        b_out.append(0)
+        drop_out.append(len(all_ids) - _BUCKET_CAP)
     for i in range(len(ids)):
         for j in range(i + 1, len(ids)):
             a_out.append(ids[i])
             b_out.append(ids[j])
-    return pd.DataFrame({"a": a_out, "b": b_out}, dtype="int64")
+            drop_out.append(0)
+    return pd.DataFrame({"a": a_out, "b": b_out, "dropped": drop_out}, dtype="int64")
 
 
 def _partition_candidate_pairs(g: pd.DataFrame) -> pd.DataFrame:
@@ -186,13 +190,13 @@ def _partition_candidate_pairs(g: pd.DataFrame) -> pd.DataFrame:
     sizes = g.groupby("bkey")["doc_id"].transform("size")
     multi = g[sizes >= 2]
     if multi.empty:
-        return pd.DataFrame({"a": [], "b": []}, dtype="int64")
+        return pd.DataFrame({"a": [], "b": [], "dropped": []}, dtype="int64")
     frames = [
         _bucket_candidate_pairs(sub) for _, sub in multi.groupby("bkey", sort=False)
     ]
     frames = [f for f in frames if len(f)]
     if not frames:
-        return pd.DataFrame({"a": [], "b": []}, dtype="int64")
+        return pd.DataFrame({"a": [], "b": [], "dropped": []}, dtype="int64")
     return pd.concat(frames, ignore_index=True)
 
 
@@ -288,8 +292,8 @@ def minhash_drop_ids(sf_dir: str, threshold: float = 0.7) -> set[int]:
     pairs = set()  # dedup pair list (bands can emit the same pair many times)
     dropped_cands = 0
     for r in pairs_ds.take_all():
-        if r["a"] < 0:  # capped-bucket marker (see _bucket_candidate_pairs)
-            dropped_cands += int(r["b"])
+        if r["dropped"]:  # capped-bucket marker (see _bucket_candidate_pairs)
+            dropped_cands += int(r["dropped"])
         else:
             pairs.add((int(r["a"]), int(r["b"])))
     if dropped_cands:

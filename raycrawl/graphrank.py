@@ -57,12 +57,15 @@ def host_edges(corpus_dir: str) -> pa.Table:
     import pyarrow.parquet as pq
 
     pages_path = os.path.join(corpus_dir, "pages.parquet")
-    first = (
-        os.path.join(pages_path, sorted(os.listdir(pages_path))[0])
-        if os.path.isdir(pages_path) else pages_path
-    )
-    if "content_type" in pq.read_schema(first).names:
-        cols.append("content_type")
+    try:
+        first = (
+            os.path.join(pages_path, sorted(os.listdir(pages_path))[0])
+            if os.path.isdir(pages_path) else pages_path
+        )
+        if "content_type" in pq.read_schema(first).names:
+            cols.append("content_type")
+    except (OSError, IndexError):  # unreadable or empty pages dir:
+        pass                       # fall back to the no-content_type set
     edges = (
         rd.read_parquet(pages_path, columns=cols)
         .map_batches(_edge_batch, batch_format="pyarrow", zero_copy_batch=True)

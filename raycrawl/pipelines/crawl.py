@@ -488,8 +488,8 @@ def run_crawl_ray(
         )
         if "content_type" in pq.read_schema(first).names:
             corpus_cols.append("content_type")
-    except OSError:
-        pass
+    except (OSError, IndexError):  # unreadable or empty pages dir:
+        pass                       # fall back to the no-content_type set
 
     if seed_urls is None:
         st = pq.read_table(os.path.join(corpus_dir, "seeds.parquet"))

@@ -21,6 +21,19 @@ from raycrawl import multimodal, relational, similarity, textproc
 
 SMOKE_CRAWL_ROUNDS = 2  # pinned config shared by q_crawl_* and their oracle
 
+# Bump when crawl ENGINE/pyref semantics deliberately change: invalidates
+# the cached smoke crawl output dir (resume=True would otherwise serve a
+# stale completed crawl from a warm /tmp across code versions).
+ENGINE_SEMANTICS_VERSION = 1
+
+
+def _oracle_name(kind: str) -> str:
+    # The oracle parquet is a pure function of (corpus GEN_VERSION — in the
+    # dir path), SMOKE_CRAWL_ROUNDS and pyref semantics; encode the last
+    # two in the filename so changing either regenerates instead of
+    # silently comparing fresh engine output against a stale oracle.
+    return f"{kind}_oracle_r{SMOKE_CRAWL_ROUNDS}_e{ENGINE_SEMANTICS_VERSION}.parquet"
+
 
 def _smoke_corpus_dir(sf_dir: str = "") -> str:
     """Deterministic cached crawl corpus. ONE shared path for every sf
@@ -36,7 +49,7 @@ def _smoke_corpus_dir(sf_dir: str = "") -> str:
     out = f"/tmp/raycrawl_fixture_v{GEN_VERSION}_smoke"
     if not os.path.exists(os.path.join(out, "pages.parquet")):
         generate(out, n_hosts=20, n_pages=1000, seed=42)
-    if not os.path.exists(os.path.join(out, "visits_oracle.parquet")):
+    if not os.path.exists(os.path.join(out, _oracle_name("visits"))):
         _write_crawl_oracle(out)
     return out
 
@@ -66,7 +79,7 @@ def _write_crawl_oracle(corpus: str) -> None:
                 "user_agent": [r["user_agent"] for r in v],
             }
         ),
-        os.path.join(corpus, "visits_oracle.parquet"),
+        os.path.join(corpus, _oracle_name("visits")),
     )
     e = res.extracted
     pq.write_table(
@@ -78,7 +91,7 @@ def _write_crawl_oracle(corpus: str) -> None:
                 "round": pa.array([r["round"] for r in e], pa.int32()),
             }
         ),
-        os.path.join(corpus, "extracted_oracle.parquet"),
+        os.path.join(corpus, _oracle_name("extracted")),
     )
 
 
@@ -109,15 +122,28 @@ def q_extract_text(sf_dir: str):
 def _smoke_crawlout(corpus: str) -> str:
     """Run the pinned smoke crawl ONCE per fixture cache (resume=True makes
     re-entry a no-op on a completed out dir); shared by q_crawl_visits and
-    q_crawl_extracted so the driver doesn't pay two crawls."""
+    q_crawl_extracted so the driver doesn't pay two crawls. The out dir is
+    stamped with ENGINE_SEMANTICS_VERSION — a stale stamp (older code wrote
+    this dir on a shared warm /tmp) forces a fresh resume=False run instead
+    of serving the old engine's output as-is."""
     from raycrawl.core import CrawlConfig
     from raycrawl.pipelines.crawl import run_crawl_ray
 
     out = f"{corpus}_crawlout_r{SMOKE_CRAWL_ROUNDS}"
+    stamp = os.path.join(out, ".engine_version")
+    want = f"{ENGINE_SEMANTICS_VERSION}"
+    have = None
+    if os.path.exists(stamp):
+        with open(stamp) as f:
+            have = f.read().strip()
     run_crawl_ray(
         corpus, out,
-        CrawlConfig(max_rounds=SMOKE_CRAWL_ROUNDS, seen_shards=4), resume=True,
+        CrawlConfig(max_rounds=SMOKE_CRAWL_ROUNDS, seen_shards=4),
+        resume=(have == want),
     )
+    os.makedirs(out, exist_ok=True)
+    with open(stamp, "w") as f:
+        f.write(want + "\n")
     return out
 
 
@@ -302,11 +328,11 @@ def build_oracle_sql() -> dict:
         ),
         "crawl_visits": (
             "SELECT url, round, priority, host, seq, status, user_agent "
-            f"FROM read_parquet('{os.path.join(corpus, 'visits_oracle.parquet')}')"
+            f"FROM read_parquet('{os.path.join(corpus, _oracle_name('visits'))}')"
         ),
         "crawl_extracted": (
             "SELECT url, text, n_links, round "
-            f"FROM read_parquet('{os.path.join(corpus, 'extracted_oracle.parquet')}')"
+            f"FROM read_parquet('{os.path.join(corpus, _oracle_name('extracted'))}')"
         ),
         "sample_qa": (
             "SELECT doc_id FROM documents "
