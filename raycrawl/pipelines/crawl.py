@@ -199,14 +199,18 @@ class _AttachFrontier:
         pos = idx.filter(valid)
         for name in self.ftab.column_names:
             sub = sub.append_column(name, self.ftab[name].take(pos))
-        return sub
+        # position of each match in the broadcast fetch table: feeds the
+        # per-block matched-position bitmaps that derive 404 misses without
+        # pulling matched url strings to the driver
+        return sub.append_column("fetch_pos", pc.cast(pos, pa.int64()))
 
 
 def _empty_matched(t: pa.Table) -> pa.Table:
     base = t.slice(0, 0)
     for name in _FETCH_COLS:
         base = base.append_column(name, pa.array([], FRONTIER_SCHEMA.field(name).type))
-    return base.append_column("url_raw", pa.array([], pa.string()))
+    base = base.append_column("url_raw", pa.array([], pa.string()))
+    return base.append_column("fetch_pos", pa.array([], pa.int64()))
 
 
 def _latest_snapshot(g: pd.DataFrame) -> pd.DataFrame:
@@ -215,6 +219,38 @@ def _latest_snapshot(g: pd.DataFrame) -> pd.DataFrame:
 
 
 def _parse_batch(
+    t: pa.Table, page_callback=None, site_registry=None,
+    allowed_content_types: tuple = ("text/html",),
+    max_batch_bytes: int = 64 << 20,
+) -> pa.Table:
+    """Byte-capped wrapper around the fused parse: the parse slice holds
+    Python copies of the decoded html strings (`to_pylist`), so a block of
+    pathological multi-MB pages is processed in sub-slices of at most
+    `max_batch_bytes` of html each — peak per-task Python heap is bounded
+    by the knob (cfg.extra["parse_max_batch_bytes"]), not by block size."""
+    if t.num_rows > 1 and max_batch_bytes:
+        sizes = pc.fill_null(pc.binary_length(t["html"]), 0).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        if int(sizes.sum()) > max_batch_bytes:
+            parts, start, acc = [], 0, 0
+            for i, s in enumerate(sizes):
+                if i > start and acc + int(s) > max_batch_bytes:
+                    parts.append(t.slice(start, i - start))
+                    start, acc = i, 0
+                acc += int(s)
+            parts.append(t.slice(start, t.num_rows - start))
+            return pa.concat_tables(
+                [
+                    _parse_slice(p, page_callback, site_registry, allowed_content_types)
+                    for p in parts
+                ],
+                promote_options="default",
+            )
+    return _parse_slice(t, page_callback, site_registry, allowed_content_types)
+
+
+def _parse_slice(
     t: pa.Table, page_callback=None, site_registry=None,
     allowed_content_types: tuple = ("text/html",),
 ) -> pa.Table:
@@ -611,6 +647,12 @@ def run_crawl_ray(
 
     summary = {"rounds_run": 0, "visits": 0, "extracted": 0, "resumed_at": start_round}
     counters_all: list[dict] = []
+    # Trailing links-per-fetched-page estimate feeding the EXPANSION
+    # dispatch: exploded candidates scale as taken x fanout (up to ~30x the
+    # frontier), so keying the driver/distributed choice on frontier size
+    # alone could pull a multi-GB candidate set to the driver. Seeded
+    # conservatively; replaced by measured fanout after each round.
+    link_factor = float(cfg.extra.get("links_per_page_est", 50.0))
     if start_round > 0:
         # I5 x I4: the page budget counts COMMITTED rounds too — seed the
         # visit counter from their lineage so a crashed-then-resumed crawl
@@ -618,8 +660,14 @@ def run_crawl_ray(
         for r in done_rounds:
             lp = os.path.join(out_dir, f"ckpt/round={r}", "lineage.parquet")
             if os.path.exists(lp):
-                lt = pq.read_table(lp, columns=["fetched"])
+                lt = pq.read_table(lp)
                 summary["visits"] += int(lt["fetched"][0].as_py() or 0)
+                if r == max(done_rounds) and "discovered" in lt.column_names:
+                    s200 = int(lt["status_200"][0].as_py() or 0)
+                    if s200 > 0:
+                        link_factor = max(
+                            1.0, int(lt["discovered"][0].as_py() or 0) / s200
+                        )
         summary["rounds_run"] = start_round
 
     for rnd in range(start_round, cfg.max_rounds):
@@ -667,8 +715,12 @@ def run_crawl_ray(
                 # logic runs locally (politeness_take_local). Above it — the
                 # 10^10-frontier design point — the salted groupby shuffle path
                 # runs. Both paths are oracle-equivalence-tested.
-                use_driver_round = n_frontier <= cfg.extra.get("driver_round_threshold", 1_000_000)
-                if use_driver_round:
+                # (The EXPANSION dispatch is decided separately below on
+                # estimated candidate volume — frontier size alone says
+                # nothing about taken x fanout.)
+                driver_threshold = cfg.extra.get("driver_round_threshold", 1_000_000)
+                use_driver_polite = n_frontier <= driver_threshold
+                if use_driver_polite:
                     ftab_all = pq.read_table(fdir)
                     _pc = pa.compute
                     elig_mask = _pc.less_equal(ftab_all["not_before_round"], rnd)
@@ -713,6 +765,19 @@ def run_crawl_ray(
                     if t.num_rows > 0 and t.num_columns > 0
                 ]
                 c["taken"] = int(sum(t.num_rows for t in _all_tabs))
+                # -- expansion dispatch (decided on CANDIDATE volume): the
+                # driver expansion path pulls taken x links-per-page rows,
+                # not n_frontier rows — dispatch on the estimate so a
+                # high-fanout round goes distributed even when the frontier
+                # itself is small. Estimate uses the trailing measured
+                # fanout (seeded conservatively at links_per_page_est).
+                est_candidates = int(c["taken"] * link_factor)
+                use_driver_expand = (
+                    est_candidates
+                    <= cfg.extra.get("driver_cand_threshold", driver_threshold)
+                )
+                c["est_candidates"] = est_candidates
+                c["expand_path"] = "driver" if use_driver_expand else "distributed"
                 part_lineage: list[dict] = [
                     {"round": rnd, "stage": "politeness_taken", "partition": i,
                      "rows": t.num_rows}
@@ -809,7 +874,8 @@ def run_crawl_ray(
                     failed = matched.filter(expr="fail == True").drop_columns(["fail"])
                     parsed = ok.map_batches(
                         lambda t: _parse_batch(
-                            t, page_callback, site_registry, cfg.allowed_content_types
+                            t, page_callback, site_registry, cfg.allowed_content_types,
+                            cfg.extra.get("parse_max_batch_bytes", 64 << 20),
                         ),
                         batch_format="pyarrow", zero_copy_batch=True,
                         concurrency=cfg.extra.get("parse_concurrency", None),
@@ -820,7 +886,8 @@ def run_crawl_ray(
                     failed = None
                     parsed = matched.map_batches(
                         lambda t: _parse_batch(
-                            t, page_callback, site_registry, cfg.allowed_content_types
+                            t, page_callback, site_registry, cfg.allowed_content_types,
+                            cfg.extra.get("parse_max_batch_bytes", 64 << 20),
                         ),
                         batch_format="pyarrow", zero_copy_batch=True,
                         concurrency=cfg.extra.get("parse_concurrency", None),
@@ -839,22 +906,40 @@ def run_crawl_ray(
                 ]
 
                 if fetch_strategy != "join":
-                    # -- misses -> 404 (J2, broadcast mode): vectorized anti
-                    # set-membership against the matched urls. Driver-side by
-                    # design on this path — bounded by the politeness budget.
-                    uarrs = [
-                        b["url"].combine_chunks()
-                        for b in matched.select_columns(["url"]).iter_batches(
-                            batch_format="pyarrow"
+                    # -- misses -> 404 (J2, broadcast mode): each matched
+                    # block reduces to an nf/8-byte BITMAP of matched fetch
+                    # positions; the driver ORs #blocks bitmaps and take()s
+                    # the zero bits from the (already driver-resident)
+                    # broadcast fetch table. No url strings leave the
+                    # cluster; driver traffic is blocks x nf/8 bytes.
+                    nf = fetch_tbl.num_rows
+                    if nf:
+                        nb_bm = (nf + 7) // 8
+
+                        def _pos_bitmap(t: pa.Table) -> pa.Table:
+                            bm = np.zeros(nb_bm, dtype=np.uint8)
+                            if t.num_rows and "fetch_pos" in t.column_names:
+                                p = t["fetch_pos"].to_numpy(
+                                    zero_copy_only=False
+                                ).astype(np.int64)
+                                np.bitwise_or.at(
+                                    bm, p >> 3, (1 << (p & 7)).astype(np.uint8)
+                                )
+                            return pa.table(
+                                {"bits": pa.array([bm.tobytes()], pa.binary())}
+                            )
+
+                        hit = np.zeros(nb_bm, dtype=np.uint8)
+                        for r in matched.map_batches(
+                            _pos_bitmap, batch_format="pyarrow", zero_copy_batch=True
+                        ).take_all():
+                            hit |= np.frombuffer(r["bits"], dtype=np.uint8)
+                        miss_pos = np.flatnonzero(
+                            ~np.unpackbits(hit, bitorder="little")[:nf].astype(bool)
                         )
-                        if b.num_rows
-                    ]
-                    mset = (
-                        pa.concat_arrays(uarrs) if uarrs else pa.array([], pa.string())
-                    )
-                    miss_tbl = fetch_tbl.filter(
-                        pc.invert(pc.is_in(fetch_tbl["url_norm"], value_set=mset))
-                    )
+                        miss_tbl = fetch_tbl.take(pa.array(miss_pos, pa.int64()))
+                    else:
+                        miss_tbl = fetch_tbl
                     c["status_404"] = miss_tbl.num_rows
                 else:
                     miss_tbl = None
@@ -905,7 +990,7 @@ def run_crawl_ray(
                 _lap("sinks_visits_extracted")
                 # -- frontier expansion ---------------------------------------
                 accepted_tab = None  # set on the driver path
-                if use_driver_round:
+                if use_driver_expand:
                     # Driver path (small rounds): explode runs distributed (it
                     # reads the parsed blocks), then the bounded candidate set is
                     # pulled and deduped/filtered locally with the same pinned
@@ -994,6 +1079,9 @@ def run_crawl_ray(
                     ]
 
                 _lap("expand_dedup_seen")
+                if c["status_200"] > 0:
+                    # measured fanout feeds the NEXT round's expansion dispatch
+                    link_factor = max(1.0, c["discovered"] / c["status_200"])
                 # -- retries (I3): vectorized column rebuild, preserving the
                 # original url / parent_url / discovered_round (pyref parity).
                 # Bounded driver pull: failures are a slice of the taken set.

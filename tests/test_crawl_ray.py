@@ -172,3 +172,29 @@ def test_content_type_gate(crawl_pair):
     assert all(v["status"] == 200 for v in asset_visits)
     ext = _read_dir(os.path.join(out, "extracted/round=*/*.parquet"))
     assert not any("/asset/" in u for u in ext["url"].to_pylist())
+
+
+def test_parse_batch_byte_cap():
+    """Pathological multi-MB pages: the byte-capped parse slices the block
+    so Python-heap copies stay bounded, with output identical to the
+    uncapped parse (SURVEY §7 hard-part (e))."""
+    import pyarrow as pa
+
+    from raycrawl.pipelines.crawl import _parse_batch
+
+    big = ("<html><body><p>" + "word " * 600_000 + "</p></body></html>").encode()
+    small = b"<html><body><p>tiny page</p><a href='/x'>x</a></body></html>"
+    htmls = [big, small, big, small, big]
+    t = pa.table(
+        {
+            "url_norm": pa.array(
+                [f"http://h.example/p{i}" for i in range(len(htmls))], pa.string()
+            ),
+            "html": pa.array(htmls, pa.binary()),
+        }
+    )
+    capped = _parse_batch(t, max_batch_bytes=4 << 20)  # each big page ~3 MB
+    uncapped = _parse_batch(t, max_batch_bytes=0)
+    assert capped.equals(uncapped)
+    assert capped.num_rows == len(htmls)
+    assert capped["n_links"].to_pylist() == [0, 1, 0, 1, 0]

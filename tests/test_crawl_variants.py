@@ -83,6 +83,44 @@ def test_host_priority_equivalence(ray_session, smoke_corpus, tmp_path):
     assert {1, 9} & prios, prios
 
 
+def test_expansion_dispatch_on_candidate_volume(ray_session, smoke_corpus, tmp_path):
+    """VERDICT r2 #1: the expansion dispatch keys on estimated CANDIDATE
+    volume (taken x links-per-page), not frontier size. A tiny frontier
+    with a low candidate threshold must take the distributed expansion
+    path (while politeness stays on the driver path) — and still equal
+    the oracle byte-for-byte."""
+    from raycrawl.pipelines.crawl import run_crawl_ray
+
+    cfg = CrawlConfig(
+        max_rounds=3, seen_shards=4,
+        extra={"driver_cand_threshold": 10, "links_per_page_est": 50.0},
+    )
+    _run_and_compare(smoke_corpus, tmp_path, cfg, "candvol")
+    out = str(tmp_path / "candvol2")
+    s = run_crawl_ray(smoke_corpus, out, cfg, resume=False)
+    for c in s["counters"]:
+        # frontier is far below driver_round_threshold, but est_candidates
+        # (taken x 50 seed, then measured fanout) exceeds the 10-candidate
+        # threshold -> every round must have expanded distributed
+        assert c["expand_path"] == "distributed", c
+        assert c["est_candidates"] > 10, c
+
+
+def test_expansion_dispatch_uses_measured_fanout(ray_session, smoke_corpus, tmp_path):
+    """After round 0, the dispatch estimate uses the trailing measured
+    links-per-fetched-page, not the conservative seed."""
+    from raycrawl.pipelines.crawl import run_crawl_ray
+
+    cfg = CrawlConfig(max_rounds=2, seen_shards=4)
+    out = str(tmp_path / "fanout")
+    s = run_crawl_ray(smoke_corpus, out, cfg, resume=False)
+    c0, c1 = s["counters"][0], s["counters"][1]
+    want_factor = max(1.0, c0["discovered"] / c0["status_200"])
+    assert c1["est_candidates"] == int(c1["taken"] * want_factor), (c0, c1)
+    # defaults on the smoke corpus: everything fits on the driver
+    assert c0["expand_path"] == "driver"
+
+
 def test_pagerank_derived_priorities_run(ray_session, smoke_corpus, tmp_path):
     """End-to-end: rank the host graph, map ranks to priority buckets,
     crawl with them — the full 'link analysis drives scheduling' loop."""
