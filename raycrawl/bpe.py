@@ -109,18 +109,19 @@ def train_from_documents(
     sf_dir: str, n_merges: int = 512, sample_docs: int = 2000
 ) -> list[tuple[str, str]]:
     """Deterministic corpus-sample training: word counts over the
-    `sample_docs` lowest doc_ids (sorted — file order independence)."""
+    `sample_docs` lowest doc_ids (sorted — file order independence). The
+    sample comes from a bounded stats-ordered row-group read, never a
+    full-table driver read."""
     import os
 
-    import pyarrow.compute as pc
-    import pyarrow.parquet as pq
+    from raycrawl.ioutil import read_lowest
 
-    t = pq.read_table(
-        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    t = read_lowest(
+        os.path.join(sf_dir, "documents.parquet"), "doc_id", sample_docs,
+        ["doc_id", "text"],
     )
-    t = t.take(pc.sort_indices(t["doc_id"]))
     counts: Counter = Counter()
-    for x in t["text"].to_pylist()[:sample_docs]:
+    for x in t["text"].to_pylist():
         counts.update(_WORD_RE.findall((x or "").lower()))
     return train_bpe(dict(counts), n_merges)
 

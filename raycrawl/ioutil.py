@@ -1,0 +1,55 @@
+"""Bounded driver-side parquet bootstrap reads.
+
+Several operators need a SMALL deterministic driver-resident slice of a
+(potentially enormous) table to bootstrap a broadcast — ANN query vectors,
+the IVF k-means training sample, the BPE vocab sample. Reading the full
+table for that is a driver OOM at the 100-TB design point (VERDICT r2
+finding #2), so:
+
+- value predicates (key < v) go through `pq.read_table(filters=...)`,
+  which prunes row groups on column statistics at the callsite, and
+- "the n smallest keys" goes through `read_lowest(...)` below, which
+  reads row groups in ascending key-min-statistic order and stops as soon
+  as the n smallest rows are provably in hand.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def read_lowest(path: str, key: str, n: int, columns: list[str]) -> pa.Table:
+    """The `n` rows with the smallest `key` values, without a full-table
+    read: row groups are visited in ascending key-min-statistic order;
+    reading stops once >= n rows are in hand AND every unread group's min
+    statistic exceeds the current n-th smallest key (so the result is
+    exact even for overlapping groups). Groups without statistics sort
+    last and force a read only while rows are still missing."""
+    f = pq.ParquetFile(path)
+    kidx = f.schema_arrow.names.index(key)
+    groups = []
+    for i in range(f.metadata.num_row_groups):
+        st = f.metadata.row_group(i).column(kidx).statistics
+        mn = st.min if st is not None and st.has_min_max else None
+        groups.append((mn, i))
+    groups.sort(key=lambda g: (g[0] is None, g[0]))
+
+    tabs: list[pa.Table] = []
+    rows = 0
+    nth_key = None  # current n-th smallest key among rows read
+    for mn, i in groups:
+        if rows >= n and mn is not None and nth_key is not None and mn > nth_key:
+            break
+        t = f.read_row_group(i, columns=columns)
+        tabs.append(t)
+        rows += t.num_rows
+        if rows >= n:
+            merged = pa.concat_tables(tabs, promote_options="default")
+            order = pa.compute.sort_indices(merged[key])
+            nth_key = merged[key].take(order.slice(min(n, rows) - 1, 1))[0].as_py()
+    if not tabs:
+        return f.schema_arrow.empty_table().select(columns)
+    merged = pa.concat_tables(tabs, promote_options="default")
+    order = pa.compute.sort_indices(merged[key])
+    return merged.take(order.slice(0, min(n, merged.num_rows)))

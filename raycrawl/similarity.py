@@ -95,9 +95,12 @@ def ann_topk(sf_dir: str, k: int = 5, n_queries: int = 10) -> pa.Table:
     path = os.path.join(sf_dir, "embeddings.parquet")
     import pyarrow.parquet as pq
 
-    qt = pq.read_table(path, columns=["vec_id", "embedding"])
-    mask = pa.compute.less(qt["vec_id"], n_queries)
-    qt = qt.filter(mask)
+    # bounded bootstrap read: the filters predicate prunes row groups on
+    # vec_id statistics — only the query rows land on the driver, never
+    # the corpus (VERDICT r2 finding #2)
+    qt = pq.read_table(
+        path, columns=["vec_id", "embedding"], filters=[("vec_id", "<", n_queries)]
+    )
     qids = qt["vec_id"].to_pylist()
     qm = _emb_matrix(qt)
     q_ref = ray.put((qids, qm))
@@ -142,8 +145,10 @@ def ann_topk_lsh(sf_dir: str, k: int = 5, n_queries: int = 10, probes: int = 4) 
     import pyarrow.parquet as pq
 
     path = os.path.join(sf_dir, "embeddings.parquet")
-    qt = pq.read_table(path, columns=["vec_id", "embedding"])
-    qt = qt.filter(pa.compute.less(qt["vec_id"], n_queries))
+    # bounded bootstrap read (row-group pruning on vec_id statistics)
+    qt = pq.read_table(
+        path, columns=["vec_id", "embedding"], filters=[("vec_id", "<", n_queries)]
+    )
     qids = qt["vec_id"].to_pylist()
     qm = _normalize(_emb_matrix(qt))
     qb = _bucket_of(qm)
@@ -240,13 +245,19 @@ def ann_topk_ivf(
     Same output schema as ann_topk; recall measured in tests."""
     import pyarrow.parquet as pq
 
+    from raycrawl.ioutil import read_lowest
+
     path = os.path.join(sf_dir, "embeddings.parquet")
-    full = pq.read_table(path, columns=["vec_id", "embedding"])
-    order = pa.compute.sort_indices(full["vec_id"])
-    sample = full.take(order.slice(0, min(train_sample, full.num_rows)))
+    # bounded bootstrap reads: the k-means sample pulls only enough row
+    # groups (stats-ordered) to cover the train_sample smallest vec_ids,
+    # and the query rows come from a statistics-pruned filters read —
+    # the full embeddings table never lands on the driver.
+    sample = read_lowest(path, "vec_id", train_sample, ["vec_id", "embedding"])
     cents = _kmeans(_normalize(_emb_matrix(sample)), n_cells)
 
-    qt = full.filter(pa.compute.less(full["vec_id"], n_queries))
+    qt = pq.read_table(
+        path, columns=["vec_id", "embedding"], filters=[("vec_id", "<", n_queries)]
+    )
     qids = qt["vec_id"].to_pylist()
     qm = _normalize(_emb_matrix(qt))
     # per query: the n_probe nearest cells
