@@ -210,6 +210,25 @@ def run_once(args) -> dict:
     num_cpus = args.num_cpus or int(os.environ.get("RAY_GRAFT_CPUS", "32"))
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     corpus = ensure_bench_corpus()
+    # Archived bench runs must be weather-interpretable: this shared-tenant
+    # host swings ±30% between identical runs (see BENCH/BASELINE.md), so
+    # every JSON line carries the machine's own achievable sha1-mp
+    # throughput in the same window. Normalize totals across rounds by
+    # host_control before concluding regression/improvement.
+    host_control = None
+    if not args.no_host_control:
+        import shutil as _shutil
+
+        try:
+            host_control = round(
+                _mp_control_throughput(
+                    min(num_cpus, os.cpu_count() or num_cpus),
+                    _shutil.which("taskset") is not None,
+                ),
+                3,
+            )
+        except Exception:
+            pass
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
                  logging_level="ERROR")
@@ -250,6 +269,9 @@ def run_once(args) -> dict:
         "sf": 0.1,
         "num_cpus": num_cpus,
         "throughput": throughput,
+        # sha1-mp tasks/sec at num_cpus in this window (see comment above);
+        # BENCH/BASELINE.md records the quiet-window reference value
+        "host_control": host_control,
     }
     ray.shutdown()
     return result
@@ -318,7 +340,7 @@ def run_scaling(args) -> dict:
             control[cpus].append(_mp_control_throughput(cpus, has_taskset))
             cmd = [sys.executable, os.path.abspath(__file__), "--components",
                    args.scaling_component, "--num-cpus", str(cpus),
-                   "--repeat", str(args.repeat)]
+                   "--repeat", str(args.repeat), "--no-host-control"]
             if has_taskset:
                 cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
             p = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO,
@@ -381,6 +403,9 @@ def main() -> None:
     ap.add_argument("--num-cpus", type=int, default=None)
     ap.add_argument("--cpus-low", type=int, default=2)
     ap.add_argument("--cpus-high", type=int, default=8)
+    ap.add_argument("--no-host-control", action="store_true",
+                    help="skip the sha1-mp host control burn (scaling "
+                         "subprocess runs pass this; the parent measures)")
     args = ap.parse_args()
     result = run_scaling(args) if args.scaling else run_once(args)
     print(json.dumps(result))

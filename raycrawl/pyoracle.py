@@ -1,0 +1,469 @@
+"""pyoracle — single-threaded expected-result oracle for the non-SQL
+operators (the `pyref` pattern extended to the training-data extensions).
+
+The MinHash/SimHash/embedding near-dup keeps, the prep pipeline, the HLL
+sketch, BPE token counts and the text-analysis heuristics are not
+expressible in ANSI SQL, so round 1/2 shipped them as rows-only checks.
+This module makes them driver-hash-checkable the same way `crawl_visits`
+is: each queries() entry writes the expected table — computed here with
+ZERO Ray, straight-line single-threaded orchestration re-derived from the
+operator spec — to a fixed /tmp path, and oracle_sql() reads that path by
+literal name in DuckDB. What the comparison then pins is exactly the part
+that can silently break: the distributed machinery (banding shuffles,
+bucket groupbys, broadcast drop filters, partial/merge plumbing, actor
+row alignment).
+
+Shared vs independent code (same philosophy as pyref vs the engine):
+per-row primitives whose SEMANTICS are the pinned spec (signature/hash
+functions, hyperplane constants, the trained BPE merge list, the textproc
+batch kernels) are imported; everything the Ray engine distributes —
+banding, candidate generation, verification, union-find, merge, filter
+composition — is reimplemented here independently. The heuristics
+(lang-id, quality score, fingerprint, BPE encode) are reimplemented
+per-row from their documented formulas.
+
+Ordering contract: a queries() callable overwrites its expected file for
+its own sf_dir BEFORE returning, and `seed_defaults()` (invoked from
+build_oracle_sql) pre-seeds every file from the driver's sf0.01 tables —
+so the comparison is correct whichever side the driver runs first.
+
+Float discipline: only `quality` / the HLL estimate are floats, and both
+are bit-identical by construction (identical float64 operations in
+identical order on both sides).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+ORACLE_VERSION = 1
+ORACLE_DIR = f"/tmp/raycrawl_pyoracle_v{ORACLE_VERSION}"
+# The driver's correctness scale; seed_defaults falls back down the list.
+_SEED_SF_DIRS = ("/root/testdata/sf0.01", "/root/testdata/sf0.001")
+
+_MINHASH_BANDS = 16
+_MINHASH_ROWS = 4
+_MINHASH_BUCKET_CAP = 200  # pinned engine cap (dedup._BUCKET_CAP)
+
+
+def expected_path(name: str) -> str:
+    return os.path.join(ORACLE_DIR, f"{name}.parquet")
+
+
+def _write(name: str, tab: pa.Table) -> None:
+    os.makedirs(ORACLE_DIR, exist_ok=True)
+    tmp = expected_path(name) + ".tmp"
+    pq.write_table(tab, tmp)
+    os.replace(tmp, expected_path(name))
+
+
+# ---------------------------------------------------------------------------
+# shared small helpers (independent implementations)
+# ---------------------------------------------------------------------------
+
+
+def _union_find_drop(pairs) -> set[int]:
+    """Independent union-find: drop every non-minimum id per connected
+    component of the verified-pair graph (the keep rule of every near-dup
+    operator). Distinct implementation from dedup._components_drop
+    (explicit component sweep instead of in-place path halving)."""
+    parent: dict[int, int] = {}
+
+    def root(x: int) -> int:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        # full path compression on a second walk
+        while parent.get(x, x) != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in pairs:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = root(a), root(b)
+        if ra != rb:
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+    comps: dict[int, list[int]] = {}
+    for x in parent:
+        comps.setdefault(root(x), []).append(x)
+    drop: set[int] = set()
+    for r, members in comps.items():
+        drop.update(m for m in members if m != min(members))
+    return drop
+
+
+def _docs(sf_dir: str) -> tuple[list[int], list[str]]:
+    t = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return t["doc_id"].to_pylist(), t["text"].to_pylist()
+
+
+# ---------------------------------------------------------------------------
+# near-dup dedup family
+# ---------------------------------------------------------------------------
+
+
+def dedup_minhash(sf_dir: str, threshold: float = 0.7) -> pa.Table:
+    """Expected keep set for MinHash-LSH near-dup: per-doc 64-perm
+    signatures (pinned primitive), 16x4 banding into dict buckets,
+    id-sorted per-bucket candidate pairs under the pinned 200-id cap,
+    signature-agreement verification, union-find keep-min."""
+    from raycrawl.dedup import minhash_signature
+
+    ids, texts = _docs(sf_dir)
+    sigs = {i: minhash_signature(x or "") for i, x in zip(ids, texts)}
+    buckets: dict[tuple, set[int]] = {}
+    for i in ids:
+        s = sigs[i]
+        for b in range(_MINHASH_BANDS):
+            key = (b, tuple(s[b * _MINHASH_ROWS : (b + 1) * _MINHASH_ROWS].tolist()))
+            buckets.setdefault(key, set()).add(i)
+    cand: set[tuple[int, int]] = set()
+    for members in buckets.values():
+        if len(members) < 2:
+            continue
+        ms = sorted(members)[:_MINHASH_BUCKET_CAP]
+        for ii in range(len(ms)):
+            for jj in range(ii + 1, len(ms)):
+                cand.add((ms[ii], ms[jj]))
+    verified = [
+        (a, b) for a, b in sorted(cand)
+        if float((sigs[a] == sigs[b]).mean()) >= threshold
+    ]
+    drop = _union_find_drop(verified)
+    return pa.table({"doc_id": pa.array([i for i in ids if i not in drop], pa.int64())})
+
+
+def dedup_simhash(sf_dir: str, max_hamming: int = 3) -> pa.Table:
+    """Expected keep set for SimHash near-dup: 4x16-bit pigeonhole bands,
+    in-bucket true-hamming verification, union-find keep-min."""
+    from raycrawl.dedup import simhash
+
+    ids, texts = _docs(sf_dir)
+    sh = {i: simhash(x or "") for i, x in zip(ids, texts)}
+    buckets: dict[tuple[int, int], set[int]] = {}
+    for i in ids:
+        v = sh[i]
+        for b in range(4):
+            buckets.setdefault((b, (v >> (16 * b)) & 0xFFFF), set()).add(i)
+    cand: set[tuple[int, int]] = set()
+    for members in buckets.values():
+        if len(members) < 2:
+            continue
+        ms = sorted(members)
+        for ii in range(len(ms)):
+            for jj in range(ii + 1, len(ms)):
+                cand.add((ms[ii], ms[jj]))
+    verified = [
+        (a, b) for a, b in sorted(cand)
+        if bin(sh[a] ^ sh[b]).count("1") <= max_hamming
+    ]
+    drop = _union_find_drop(verified)
+    return pa.table({"doc_id": pa.array([i for i in ids if i not in drop], pa.int64())})
+
+
+def _embeddings(sf_dir: str):
+    from raycrawl.similarity import _emb_matrix, _normalize
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    return t["vec_id"].to_pylist(), _normalize(_emb_matrix(t))
+
+
+def dedup_embedding(sf_dir: str, threshold: float = 0.97) -> pa.Table:
+    """Expected keep set for brute-force embedding near-dup: full cosine
+    matrix, all pairs >= threshold, union-find keep-min."""
+    ids, m = _embeddings(sf_dir)
+    s = m @ m.T
+    iu, ju = np.triu_indices(len(ids), k=1)
+    hit = s[iu, ju] >= threshold
+    pairs = sorted(
+        (min(ids[i], ids[j]), max(ids[i], ids[j]))
+        for i, j in zip(iu[hit], ju[hit])
+    )
+    drop = _union_find_drop(pairs)
+    return pa.table({"vec_id": pa.array([i for i in ids if i not in drop], pa.int64())})
+
+
+def dedup_embedding_lsh(sf_dir: str, threshold: float = 0.97) -> pa.Table:
+    """Expected keep set for the banded-hyperplane LSH near-dup scale
+    path: sign-band dict buckets over the pinned hyperplane tables,
+    in-bucket cosine verification, union-find keep-min."""
+    from raycrawl.similarity import _BAND_PLANES, _NEARDUP_BANDS, _NEARDUP_BITS
+
+    ids, m = _embeddings(sf_dir)
+    buckets: dict[tuple[int, int], set[int]] = {}
+    for b in range(_NEARDUP_BANDS):
+        signs = (m @ _BAND_PLANES[b].T) > 0
+        keys = (signs * (1 << np.arange(_NEARDUP_BITS))).sum(axis=1)
+        for row, k in enumerate(keys):
+            buckets.setdefault((b, int(k)), set()).add(row)
+    cand: set[tuple[int, int]] = set()
+    for members in buckets.values():
+        if len(members) < 2:
+            continue
+        rows = sorted(members, key=lambda r: ids[r])
+        for ii in range(len(rows)):
+            for jj in range(ii + 1, len(rows)):
+                if float(m[rows[ii]] @ m[rows[jj]]) >= threshold:
+                    cand.add((ids[rows[ii]], ids[rows[jj]]))
+    drop = _union_find_drop(sorted(cand))
+    return pa.table({"vec_id": pa.array([i for i in ids if i not in drop], pa.int64())})
+
+
+# ---------------------------------------------------------------------------
+# text-analysis heuristics (per-row formulas reimplemented from their spec)
+# ---------------------------------------------------------------------------
+
+_CJK = re.compile(r"[一-鿿぀-ヿ]")
+_LETTERS = re.compile(r"[a-zà-ÿ]+")
+
+
+def _lang_of(text: str) -> str:
+    from raycrawl.textproc import _LANG_PROFILES  # pinned profile data
+
+    if not text:
+        return "und"
+    sample = text[:2000]
+    if len(_CJK.findall(sample)) >= max(2, len(sample) // 50):
+        return "zh"
+    words = set(_LETTERS.findall(sample.lower()))
+    if not words:
+        return "und"
+    best, best_n = "und", 0
+    for lang, prof in _LANG_PROFILES.items():  # pinned order; strict > tie rule
+        n = len(words & prof)
+        if n > best_n:
+            best, best_n = lang, n
+    return best if best_n >= 2 else "und"
+
+
+def lang_id(sf_dir: str) -> pa.Table:
+    ids, texts = _docs(sf_dir)
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "lang_pred": pa.array([_lang_of(x or "") for x in texts], pa.string()),
+        }
+    )
+
+
+def _quality_of(x: str) -> float:
+    toks = x.split()
+    if not toks:
+        return 0.0
+    mean_len = sum(len(w) for w in toks) / len(toks)
+    len_score = min(1.0, len(toks) / 50.0)
+    word_score = 1.0 if 3.0 <= mean_len <= 10.0 else 0.5
+    digits = sum(c.isdigit() for c in x)
+    digit_score = max(0.0, 1.0 - 5.0 * digits / max(1, len(x)))
+    return round(len_score * word_score * digit_score, 6)
+
+
+def quality_score(sf_dir: str) -> pa.Table:
+    ids, texts = _docs(sf_dir)
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "quality": pa.array([_quality_of(x or "") for x in texts], pa.float64()),
+        }
+    )
+
+
+def _fingerprint_of(text: str, window: int = 8) -> int:
+    import hashlib
+
+    toks = text.split()
+    if not toks:
+        return 0
+    hs = [int.from_bytes(hashlib.sha1(w.encode()).digest()[:8], "big") for w in toks]
+    if len(hs) <= window:
+        acc = 0
+        for h in hs:
+            acc = (acc * 1099511628211 + h) % (1 << 64)
+        return acc
+    seen_mins = set()
+    for i in range(len(hs) - window + 1):
+        seen_mins.add(min(hs[i : i + window]))
+    acc = 0
+    for mval in seen_mins:
+        acc ^= mval
+    return acc
+
+
+def doc_fingerprint(sf_dir: str) -> pa.Table:
+    ids, texts = _docs(sf_dir)
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "fingerprint": pa.array(
+                [_fingerprint_of(x or "") for x in texts], pa.uint64()
+            ),
+        }
+    )
+
+
+_NONSPACE = re.compile(r"\S+")
+_EOW = "</w>"
+
+
+def _bpe_len(word: str, ranks: dict[tuple[str, str], int]) -> int:
+    """Independent greedy BPE application: repeatedly merge the lowest-rank
+    (leftmost on equal rank) adjacent pair."""
+    seq = list(word) + [_EOW]
+    while len(seq) > 1:
+        best_rank, best_i = None, -1
+        for i in range(len(seq) - 1):
+            r = ranks.get((seq[i], seq[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_i = r, i
+        if best_rank is None:
+            break
+        seq[best_i : best_i + 2] = [seq[best_i] + seq[best_i + 1]]
+    return len(seq)
+
+
+def token_count_bpe(sf_dir: str) -> pa.Table:
+    """Expected BPE subword counts: the merge list is the pinned
+    deterministic training output (shared); the encoder is reimplemented
+    and applied word-cache-free in one pass."""
+    from raycrawl.bpe import train_from_documents
+
+    ranks = {tuple(mg): i for i, mg in enumerate(train_from_documents(sf_dir))}
+    ids, texts = _docs(sf_dir)
+    word_len: dict[str, int] = {}
+    ns = []
+    for x in texts:
+        total = 0
+        for w in _NONSPACE.findall((x or "").lower()):
+            n = word_len.get(w)
+            if n is None:
+                n = word_len[w] = _bpe_len(w, ranks)
+            total += n
+        ns.append(total)
+    return pa.table(
+        {"doc_id": pa.array(ids, pa.int64()), "n_tokens_bpe": pa.array(ns, pa.int64())}
+    )
+
+
+# ---------------------------------------------------------------------------
+# sketches + composite prep
+# ---------------------------------------------------------------------------
+
+
+def approx_distinct(sf_dir: str) -> pa.Table:
+    """Expected HLL row: one single-threaded pass over user_id (register
+    max is order/partition independent, so the distributed partial-merge
+    must land on bit-identical registers and estimate)."""
+    from raycrawl.sketches import HLL
+
+    t = pq.read_table(os.path.join(sf_dir, "events.parquet"), columns=["user_id"])
+    vals = t["user_id"].to_pylist()
+    h = HLL(12)
+    h.add(vals)
+    est = h.estimate()
+    exact = len(set(vals))
+    return pa.table(
+        {
+            "estimate": pa.array([est], pa.float64()),
+            "exact": pa.array([exact], pa.int64()),
+            "rel_err": pa.array([abs(est - exact) / max(1, exact)], pa.float64()),
+        }
+    )
+
+
+def prep_corpus(
+    sf_dir: str, min_tokens: int = 10, min_quality: float = 0.2
+) -> pa.Table:
+    """Expected curated-corpus output: exact-dup drop (63-bit content-hash
+    groups, keep-min) ∪ minhash drop, then the pinned analysis kernels
+    over the whole table at once, then the filter — no Ray, no batching."""
+    from raycrawl import core, textproc
+
+    ids, texts = _docs(sf_dir)
+    by_hash: dict[int, list[int]] = {}
+    for i, x in zip(ids, texts):
+        by_hash.setdefault(core.url_hash(x) & ((1 << 63) - 1), []).append(i)
+    drop: set[int] = set()
+    for members in by_hash.values():
+        if len(members) > 1:
+            drop.update(m for m in members if m != min(members))
+    keep_min = set(dedup_minhash(sf_dir)["doc_id"].to_pylist())
+    drop |= {i for i in ids if i not in keep_min}
+
+    t = pa.table(
+        {"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts, pa.string())}
+    )
+    t = textproc.lang_id_batch(t)
+    t = textproc.token_count_batch(t)
+    t = textproc.quality_score_batch(t)
+    rows = t.to_pylist()
+    kept = [
+        r for r in rows
+        if r["doc_id"] not in drop
+        and r["n_tokens"] >= min_tokens
+        and r["quality"] >= min_quality
+    ]
+    return pa.table(
+        {
+            "doc_id": pa.array([r["doc_id"] for r in kept], pa.int64()),
+            "lang_pred": pa.array([r["lang_pred"] for r in kept], pa.string()),
+            "n_tokens": pa.array([r["n_tokens"] for r in kept], pa.int64()),
+            "n_tokens_bpe": pa.array([r["n_tokens_bpe"] for r in kept], pa.int64()),
+            "quality": pa.array([r["quality"] for r in kept], pa.float64()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# registry surface
+# ---------------------------------------------------------------------------
+
+COMPUTE = {
+    "dedup_minhash": dedup_minhash,
+    "dedup_simhash": dedup_simhash,
+    "dedup_embedding": dedup_embedding,
+    "dedup_embedding_lsh": dedup_embedding_lsh,
+    "lang_id": lang_id,
+    "quality_score": quality_score,
+    "doc_fingerprint": doc_fingerprint,
+    "token_count_bpe": token_count_bpe,
+    "approx_distinct": approx_distinct,
+    "prep_corpus": prep_corpus,
+}
+
+
+def write_expected(name: str, sf_dir: str) -> str:
+    """Compute + overwrite the expected table for `name` over `sf_dir`;
+    called by the queries() wrapper before the Ray pipeline is returned."""
+    _write(name, COMPUTE[name](sf_dir))
+    return expected_path(name)
+
+
+_seeded = False
+
+
+def seed_defaults() -> None:
+    """Pre-seed every expected file from the driver's sf0.01 tables so the
+    static oracle SQL is valid even if the driver evaluates the SQL side
+    before the Ray side on a cold /tmp (memoized per process)."""
+    global _seeded
+    if _seeded:
+        return
+    for d in _SEED_SF_DIRS:
+        if os.path.exists(os.path.join(d, "documents.parquet")):
+            for name in COMPUTE:
+                write_expected(name, d)
+            break
+    _seeded = True

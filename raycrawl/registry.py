@@ -234,6 +234,22 @@ def q_quality_score(sf_dir: str):
     )
 
 
+def _oracled(name: str, fn):
+    """Wrap a queries() callable so it (over)writes its pyoracle expected
+    parquet for THIS sf_dir before the Ray pipeline is returned — the
+    static oracle SQL reads that fixed path, making the non-SQL operators
+    driver-hash-checked (see pyoracle module docstring for the ordering
+    contract)."""
+
+    def q(sf_dir: str):
+        from raycrawl import pyoracle
+
+        pyoracle.write_expected(name, sf_dir)
+        return fn(sf_dir)
+
+    return q
+
+
 def build_queries() -> dict:
     return {
         # sources / maps / filters (S1, M8, M9, M13, M14, M1)
@@ -271,40 +287,54 @@ def build_queries() -> dict:
         "except_join": relational.q_except_join,
         # text analysis
         "token_count": textproc.token_counts,
-        # real subword tokenizer (offline deterministic BPE; rows-only —
-        # merge application is not SQL-expressible)
-        "token_count_bpe": lambda sf: __import__(
-            "raycrawl.bpe", fromlist=["x"]
-        ).token_count_bpe(sf),
+        # real subword tokenizer (deterministic BPE; expected counts come
+        # from pyoracle's independent encoder over the pinned merge list)
+        "token_count_bpe": _oracled(
+            "token_count_bpe",
+            lambda sf: __import__("raycrawl.bpe", fromlist=["x"]).token_count_bpe(sf),
+        ),
         "text_quality": textproc.text_quality,
-        "lang_id": textproc.language_id,  # rows-only (heuristic)
-        "doc_fingerprint": textproc.fingerprints,  # rows-only
-        "quality_score": q_quality_score,  # rows-only (float heuristic)
-        # dedup extensions (rows-only: not SQL-expressible)
-        "dedup_minhash": lambda sf: __import__("raycrawl.dedup", fromlist=["x"]).minhash_dedup(sf),
-        "dedup_simhash": lambda sf: __import__("raycrawl.dedup", fromlist=["x"]).simhash_dedup(sf),
-        "dedup_embedding": similarity.embedding_neardup,  # rows-only
-        "dedup_embedding_lsh": similarity.embedding_neardup_lsh,  # scale path
+        "lang_id": _oracled("lang_id", textproc.language_id),
+        "doc_fingerprint": _oracled("doc_fingerprint", textproc.fingerprints),
+        "quality_score": _oracled("quality_score", q_quality_score),
+        # near-dup dedup family: driver-hash-checked against pyoracle's
+        # single-threaded independent keep-set computation
+        "dedup_minhash": _oracled(
+            "dedup_minhash",
+            lambda sf: __import__("raycrawl.dedup", fromlist=["x"]).minhash_dedup(sf),
+        ),
+        "dedup_simhash": _oracled(
+            "dedup_simhash",
+            lambda sf: __import__("raycrawl.dedup", fromlist=["x"]).simhash_dedup(sf),
+        ),
+        "dedup_embedding": _oracled("dedup_embedding", similarity.embedding_neardup),
+        "dedup_embedding_lsh": _oracled(
+            "dedup_embedding_lsh", similarity.embedding_neardup_lsh
+        ),
         # similarity search
         "ann_topk": similarity.ann_topk,
         "ann_topk_lsh": similarity.ann_topk_lsh,  # rows-only (approximate)
         "ann_topk_ivf": similarity.ann_topk_ivf,  # rows-only (approximate)
         # sampling (O4): deterministic hash-threshold sample, oracle-checked
         "sample_qa": q_sample_qa,
-        # iterative link analysis (rows-only: float power iteration)
+        # iterative link analysis (rows-only: float power iteration — two
+        # independent float implementations would differ in final ulps)
         "host_pagerank": lambda sf: __import__(
             "raycrawl.graphrank", fromlist=["x"]
         ).q_host_pagerank(sf),
-        # sketches (rows-only: approximate by construction)
-        "approx_distinct": lambda sf: __import__(
-            "raycrawl.sketches", fromlist=["x"]
-        ).q_approx_distinct(sf),
-        # multimodal plumbing (rows-only; decode stubbed)
+        # sketches: HLL registers are order/partition independent, so the
+        # single-threaded pyoracle pass pins the distributed merge exactly
+        "approx_distinct": _oracled(
+            "approx_distinct",
+            lambda sf: __import__("raycrawl.sketches", fromlist=["x"]).q_approx_distinct(sf),
+        ),
+        # multimodal plumbing (decode stubbed)
         "media_features": multimodal.media_pipeline,
-        # composite training-data prep (rows-only; stage-wise oracle-covered)
-        "prep_corpus": lambda sf: __import__(
-            "raycrawl.pipelines.prep", fromlist=["x"]
-        ).prep_corpus(sf),
+        # composite training-data prep: full-output driver-hash check
+        "prep_corpus": _oracled(
+            "prep_corpus",
+            lambda sf: __import__("raycrawl.pipelines.prep", fromlist=["x"]).prep_corpus(sf),
+        ),
         # crawl engine: extract_text/links DuckDB-checked against the
         # fixture's independent oracle columns; crawl_visits/extracted
         # DuckDB-checked against the pyref oracle parquet
@@ -316,12 +346,33 @@ def build_queries() -> dict:
 
 
 def build_oracle_sql() -> dict:
+    from raycrawl import pyoracle
+
     # the extract_text / extract_links_count oracles read the fixture
     # corpus by literal path — make sure it exists even if the driver runs
-    # the SQL side before the Ray side on a cold /tmp
+    # the SQL side before the Ray side on a cold /tmp; same for the
+    # pyoracle expected files (pre-seeded at the driver's sf0.01)
     corpus = _smoke_corpus_dir()
+    pyoracle.seed_defaults()
     pages_glob = os.path.join(corpus, "pages.parquet", "*.parquet")
+
+    def _exp(name: str, cols: str) -> str:
+        return f"SELECT {cols} FROM read_parquet('{pyoracle.expected_path(name)}')"
+
     return {
+        # ---- pyoracle-backed (single-threaded independent expected) ----
+        "dedup_minhash": _exp("dedup_minhash", "doc_id"),
+        "dedup_simhash": _exp("dedup_simhash", "doc_id"),
+        "dedup_embedding": _exp("dedup_embedding", "vec_id"),
+        "dedup_embedding_lsh": _exp("dedup_embedding_lsh", "vec_id"),
+        "lang_id": _exp("lang_id", "doc_id, lang_pred"),
+        "quality_score": _exp("quality_score", "doc_id, quality"),
+        "doc_fingerprint": _exp("doc_fingerprint", "doc_id, fingerprint"),
+        "token_count_bpe": _exp("token_count_bpe", "doc_id, n_tokens_bpe"),
+        "approx_distinct": _exp("approx_distinct", 'estimate, "exact", rel_err'),
+        "prep_corpus": _exp(
+            "prep_corpus", "doc_id, lang_pred, n_tokens, n_tokens_bpe, quality"
+        ),
         "extract_text": f"SELECT url, text FROM read_parquet('{pages_glob}')",
         "extract_links_count": (
             f"SELECT url, n_links FROM read_parquet('{pages_glob}')"

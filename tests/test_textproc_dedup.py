@@ -204,3 +204,38 @@ class TestIVF:
         a = similarity.ann_topk_ivf(SF_DIR, k=3, n_queries=3)
         b = similarity.ann_topk_ivf(SF_DIR, k=3, n_queries=3)
         assert a.equals(b)
+
+
+def test_pyoracle_union_find_drop():
+    """pyoracle's independent union-find: non-min id per component."""
+    from raycrawl.pyoracle import _union_find_drop
+
+    # components {1,2,3} (chained), {10,11}, singleton pair-free 99
+    drop = _union_find_drop([(2, 3), (1, 2), (10, 11)])
+    assert drop == {2, 3, 11}
+    assert _union_find_drop([]) == set()
+    # order independence
+    assert _union_find_drop([(1, 2), (2, 3)]) == _union_find_drop([(2, 3), (1, 2)])
+
+
+def test_pyoracle_minhash_agrees_with_planted_dups(tmp_path):
+    """The independent single-threaded minhash keep-set drops a planted
+    near-duplicate and keeps distinct docs (sanity independent of the
+    conformance comparison)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from raycrawl import pyoracle
+
+    base = "the quick brown fox jumps over the lazy dog again and again " * 20
+    near = base.replace("lazy", "sleepy", 1)
+    other = "completely different text about ray data pipelines " * 25
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array([base, near, other], pa.string()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    keep = pyoracle.dedup_minhash(str(tmp_path))["doc_id"].to_pylist()
+    assert keep == [1, 3]
