@@ -358,6 +358,81 @@ def token_count_bpe(sf_dir: str) -> pa.Table:
 
 
 # ---------------------------------------------------------------------------
+# approximate ANN (deterministic: same pruning spec, independent single-
+# threaded candidate selection + full sort instead of per-batch partial
+# top-k merge — pins the distributed partial/merge machinery)
+# ---------------------------------------------------------------------------
+
+
+def _topk_table(per_query: dict[int, list[tuple[float, int]]], k: int) -> pa.Table:
+    out_q, out_r, out_n = [], [], []
+    for q in sorted(per_query):
+        ranked = sorted(per_query[q], key=lambda sn: (-sn[0], sn[1]))[:k]
+        for rank, (_, n) in enumerate(ranked, start=1):
+            out_q.append(q)
+            out_r.append(rank)
+            out_n.append(n)
+    return pa.table(
+        {
+            "query_id": pa.array(out_q, pa.int64()),
+            "rank": pa.array(out_r, pa.int64()),
+            "neighbor_id": pa.array(out_n, pa.int64()),
+        }
+    )
+
+
+def ann_topk_lsh(
+    sf_dir: str, k: int = 5, n_queries: int = 10, probes: int = 4
+) -> pa.Table:
+    """Expected LSH ANN result: hamming-probe candidate set over the
+    pinned 16-bit hyperplane signature, exact cosine rerank, global sort
+    by (-score, neighbor_id)."""
+    from raycrawl.similarity import _bucket_of
+
+    ids, m = _embeddings(sf_dir)
+    vids = np.asarray(ids, dtype=np.int64)
+    vb = _bucket_of(m)
+    qmask = vids < n_queries
+    per_query: dict[int, list[tuple[float, int]]] = {}
+    for qi in np.flatnonzero(qmask):
+        qid = int(vids[qi])
+        ham = np.array([bin(int(v ^ vb[qi])).count("1") for v in vb])
+        cand = np.flatnonzero((ham <= probes) & (vids != qid))
+        per_query[qid] = [
+            (float(m[c] @ m[qi]), int(vids[c])) for c in cand
+        ]
+    return _topk_table(per_query, k)
+
+
+def ann_topk_ivf(
+    sf_dir: str, k: int = 5, n_queries: int = 10,
+    n_cells: int = 32, n_probe: int = 4, train_sample: int = 4096,
+) -> pa.Table:
+    """Expected IVF ANN result: the pinned k-means centroids (same
+    deterministic training sample + algorithm), probe-cell pruning,
+    exact cosine rerank, global sort by (-score, neighbor_id)."""
+    import os as _os
+
+    from raycrawl.ioutil import read_lowest
+    from raycrawl.similarity import _emb_matrix, _kmeans, _normalize
+
+    path = _os.path.join(sf_dir, "embeddings.parquet")
+    sample = read_lowest(path, "vec_id", train_sample, ["vec_id", "embedding"])
+    cents = _kmeans(_normalize(_emb_matrix(sample)), n_cells)
+
+    ids, m = _embeddings(sf_dir)
+    vids = np.asarray(ids, dtype=np.int64)
+    cell = np.argmax(m @ cents.T, axis=1)
+    per_query: dict[int, list[tuple[float, int]]] = {}
+    for qi in np.flatnonzero(vids < n_queries):
+        qid = int(vids[qi])
+        qcells = np.argsort(-(m[qi] @ cents.T))[:n_probe]
+        cand = np.flatnonzero(np.isin(cell, qcells) & (vids != qid))
+        per_query[qid] = [(float(m[c] @ m[qi]), int(vids[c])) for c in cand]
+    return _topk_table(per_query, k)
+
+
+# ---------------------------------------------------------------------------
 # sketches + composite prep
 # ---------------------------------------------------------------------------
 
@@ -441,6 +516,8 @@ COMPUTE = {
     "token_count_bpe": token_count_bpe,
     "approx_distinct": approx_distinct,
     "prep_corpus": prep_corpus,
+    "ann_topk_lsh": ann_topk_lsh,
+    "ann_topk_ivf": ann_topk_ivf,
 }
 
 

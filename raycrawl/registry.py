@@ -311,10 +311,12 @@ def build_queries() -> dict:
         "dedup_embedding_lsh": _oracled(
             "dedup_embedding_lsh", similarity.embedding_neardup_lsh
         ),
-        # similarity search
+        # similarity search (the approximate variants are deterministic,
+        # so pyoracle re-derives the same pruned candidate sets single-
+        # threaded — pinning the distributed partial-top-k merge)
         "ann_topk": similarity.ann_topk,
-        "ann_topk_lsh": similarity.ann_topk_lsh,  # rows-only (approximate)
-        "ann_topk_ivf": similarity.ann_topk_ivf,  # rows-only (approximate)
+        "ann_topk_lsh": _oracled("ann_topk_lsh", similarity.ann_topk_lsh),
+        "ann_topk_ivf": _oracled("ann_topk_ivf", similarity.ann_topk_ivf),
         # sampling (O4): deterministic hash-threshold sample, oracle-checked
         "sample_qa": q_sample_qa,
         # iterative link analysis (rows-only: float power iteration — two
@@ -370,6 +372,8 @@ def build_oracle_sql() -> dict:
         "doc_fingerprint": _exp("doc_fingerprint", "doc_id, fingerprint"),
         "token_count_bpe": _exp("token_count_bpe", "doc_id, n_tokens_bpe"),
         "approx_distinct": _exp("approx_distinct", 'estimate, "exact", rel_err'),
+        "ann_topk_lsh": _exp("ann_topk_lsh", "query_id, rank, neighbor_id"),
+        "ann_topk_ivf": _exp("ann_topk_ivf", "query_id, rank, neighbor_id"),
         "prep_corpus": _exp(
             "prep_corpus", "doc_id, lang_pred, n_tokens, n_tokens_bpe, quality"
         ),
