@@ -259,24 +259,21 @@ class _DropFilter:
         return t.filter(pc.invert(pc.is_in(t[self.col], value_set=self.drop)))
 
 
-def minhash_drop_ids(sf_dir: str, threshold: float = 0.7) -> set[int]:
-    """MinHash-LSH near-dup DROP set (non-min id per duplicate component).
-
-    Scale shape: signatures materialize once; the banding shuffle carries
-    only (bkey, doc_id); buckets emit candidate id pairs; verification
-    pulls ONLY the candidate signatures (bounded by true-duplicate
-    density, not corpus size) and checks signature agreement >= threshold.
-    Only pair ids ever reach the driver — never the full corpus id list."""
+def _read_docs(sf_dir: str) -> rd.Dataset:
     ncpu = int(ray.cluster_resources().get("CPU", 8))
     # single-parquet-file inputs split into few blocks by default; size the
     # signature stage's task count to the cluster so every core works
-    docs = rd.read_parquet(
+    return rd.read_parquet(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"],
         override_num_blocks=4 * ncpu,
     )
-    sigs = docs.map_batches(
-        minhash_batch, batch_format="pyarrow", zero_copy_batch=True
-    ).materialize()
+
+
+def _lsh_candidate_pairs(sigs: rd.Dataset) -> set[tuple[int, int]]:
+    """The MinHash-LSH banding shuffle: (bkey, doc_id)-only explode,
+    bkey-hash-partitioned bucket candidate generation, capped-bucket
+    truncation logged. Returns the deduped candidate id-pair set (bounded
+    by duplicate density — the only thing that reaches the driver)."""
     banded = sigs.map_batches(band_explode_slim, batch_format="pyarrow").map_batches(
         lambda t: t.append_column(
             "part", pc.cast(
@@ -302,6 +299,22 @@ def minhash_drop_ids(sf_dir: str, threshold: float = 0.7) -> set[int]:
             "were not paired (recall may drop for pathological buckets)",
             dropped_cands, _BUCKET_CAP,
         )
+    return pairs
+
+
+def minhash_drop_ids(sf_dir: str, threshold: float = 0.7) -> set[int]:
+    """MinHash-LSH near-dup DROP set (non-min id per duplicate component).
+
+    Scale shape: signatures materialize once; the banding shuffle carries
+    only (bkey, doc_id); buckets emit candidate id pairs; verification
+    pulls ONLY the candidate signatures (bounded by true-duplicate
+    density, not corpus size) and checks signature agreement >= threshold.
+    Only pair ids ever reach the driver — never the full corpus id list."""
+    docs = _read_docs(sf_dir)
+    sigs = docs.map_batches(
+        minhash_batch, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    pairs = _lsh_candidate_pairs(sigs)
     if not pairs:
         return set()
     cand_ids = {x for p in pairs for x in p}
@@ -460,7 +473,7 @@ def exact_dup_drop_ids(sf_dir: str) -> set[int]:
 
 
 # ---------------------------------------------------------------------------
-# n-gram Jaccard (exact verification measure)
+# n-gram Jaccard (exact verification measure + full dedup operator)
 # ---------------------------------------------------------------------------
 
 
@@ -472,3 +485,72 @@ def ngram_jaccard(a: str, b: str, n: int = 3) -> float:
     if not sa or not sb:
         return 0.0
     return len(sa & sb) / len(sa | sb)
+
+
+def jaccard_dedup(sf_dir: str, threshold: float = 0.7) -> rd.Dataset:
+    """Near-dup dedup verified by TRUE word-3-gram Jaccard instead of the
+    signature estimate: candidate pairs come from the same MinHash-LSH
+    banding shuffle (cheap, high recall), but verification pulls the
+    CANDIDATE documents' exact shingle sets (a distributed filtered pass,
+    bounded by duplicate density — never the corpus) and compares real
+    set overlap. Keep = min id per verified component; returned as a
+    Dataset with the drop set broadcast (same contract as minhash_dedup)."""
+    docs = _read_docs(sf_dir)
+    sigs = docs.map_batches(
+        minhash_batch, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    pairs = _lsh_candidate_pairs(sigs)
+    drop: set[int] = set()
+    if pairs:
+        cand_ids = {x for p in pairs for x in p}
+        cref = ray.put(pa.array(sorted(cand_ids), pa.int64()))
+
+        class PullShingleSets:
+            """Distributed candidate-only pass: emit each candidate doc's
+            UNIQUE shingle hashes (uint64 list) — the exact-Jaccard
+            payload, bounded by duplicate density."""
+
+            def __init__(self, r):
+                self.wanted = ray.get(r) if isinstance(r, ray.ObjectRef) else r
+
+            def __call__(self, t: pa.Table) -> pa.Table:
+                sub = t.filter(pc.is_in(t["doc_id"], value_set=self.wanted))
+                sets = [
+                    np.unique(shingles(x or "")).tolist()
+                    for x in sub["text"].to_pylist()
+                ]
+                return pa.table(
+                    {
+                        "doc_id": sub["doc_id"],
+                        "sh": pa.array(sets, pa.list_(pa.uint64())),
+                    }
+                )
+
+        sh_by_id: dict[int, frozenset] = {}
+        for b in docs.map_batches(
+            PullShingleSets, fn_constructor_args=(cref,),
+            batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 4),
+        ).iter_batches(batch_format="pyarrow"):
+            for i, s in zip(b["doc_id"].to_pylist(), b["sh"].to_pylist()):
+                sh_by_id[i] = frozenset(s)
+
+        def _jac(a: frozenset, b: frozenset) -> float:
+            if not a and not b:
+                return 1.0
+            if not a or not b:
+                return 0.0
+            return len(a & b) / len(a | b)
+
+        verified = [
+            (a, b) for a, b in sorted(pairs)
+            if _jac(sh_by_id[a], sh_by_id[b]) >= threshold
+        ]
+        drop = _components_drop(verified)
+    dref = ray.put(pa.array(sorted(drop), pa.int64()))
+    return (
+        rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+        .map_batches(
+            _DropFilter, fn_constructor_args=(dref, "doc_id"),
+            batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 4),
+        )
+    )

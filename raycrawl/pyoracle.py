@@ -144,6 +144,38 @@ def dedup_minhash(sf_dir: str, threshold: float = 0.7) -> pa.Table:
     return pa.table({"doc_id": pa.array([i for i in ids if i not in drop], pa.int64())})
 
 
+def dedup_jaccard(sf_dir: str, threshold: float = 0.7) -> pa.Table:
+    """Expected keep set for true-Jaccard near-dup: the same minhash
+    banding candidate generation (pinned signature primitive, dict
+    buckets, 200-id cap), but verification compares the docs' exact
+    word-3-gram shingle SETS (pinned ngram_jaccard measure)."""
+    from raycrawl.dedup import minhash_signature, ngram_jaccard
+
+    ids, texts = _docs(sf_dir)
+    text_of = dict(zip(ids, texts))
+    sigs = {i: minhash_signature(x or "") for i, x in zip(ids, texts)}
+    buckets: dict[tuple, set[int]] = {}
+    for i in ids:
+        s = sigs[i]
+        for b in range(_MINHASH_BANDS):
+            key = (b, tuple(s[b * _MINHASH_ROWS : (b + 1) * _MINHASH_ROWS].tolist()))
+            buckets.setdefault(key, set()).add(i)
+    cand: set[tuple[int, int]] = set()
+    for members in buckets.values():
+        if len(members) < 2:
+            continue
+        ms = sorted(members)[:_MINHASH_BUCKET_CAP]
+        for ii in range(len(ms)):
+            for jj in range(ii + 1, len(ms)):
+                cand.add((ms[ii], ms[jj]))
+    verified = [
+        (a, b) for a, b in sorted(cand)
+        if ngram_jaccard(text_of[a] or "", text_of[b] or "") >= threshold
+    ]
+    drop = _union_find_drop(verified)
+    return pa.table({"doc_id": pa.array([i for i in ids if i not in drop], pa.int64())})
+
+
 def dedup_simhash(sf_dir: str, max_hamming: int = 3) -> pa.Table:
     """Expected keep set for SimHash near-dup: 4x16-bit pigeonhole bands,
     in-bucket true-hamming verification, union-find keep-min."""
@@ -507,6 +539,7 @@ def prep_corpus(
 
 COMPUTE = {
     "dedup_minhash": dedup_minhash,
+    "dedup_jaccard": dedup_jaccard,
     "dedup_simhash": dedup_simhash,
     "dedup_embedding": dedup_embedding,
     "dedup_embedding_lsh": dedup_embedding_lsh,

@@ -303,6 +303,10 @@ def build_queries() -> dict:
             "dedup_minhash",
             lambda sf: __import__("raycrawl.dedup", fromlist=["x"]).minhash_dedup(sf),
         ),
+        "dedup_jaccard": _oracled(
+            "dedup_jaccard",
+            lambda sf: __import__("raycrawl.dedup", fromlist=["x"]).jaccard_dedup(sf),
+        ),
         "dedup_simhash": _oracled(
             "dedup_simhash",
             lambda sf: __import__("raycrawl.dedup", fromlist=["x"]).simhash_dedup(sf),
@@ -364,6 +368,7 @@ def build_oracle_sql() -> dict:
     return {
         # ---- pyoracle-backed (single-threaded independent expected) ----
         "dedup_minhash": _exp("dedup_minhash", "doc_id"),
+        "dedup_jaccard": _exp("dedup_jaccard", "doc_id"),
         "dedup_simhash": _exp("dedup_simhash", "doc_id"),
         "dedup_embedding": _exp("dedup_embedding", "vec_id"),
         "dedup_embedding_lsh": _exp("dedup_embedding_lsh", "vec_id"),

@@ -239,3 +239,27 @@ def test_pyoracle_minhash_agrees_with_planted_dups(tmp_path):
     pq.write_table(t, str(tmp_path / "documents.parquet"))
     keep = pyoracle.dedup_minhash(str(tmp_path))["doc_id"].to_pylist()
     assert keep == [1, 3]
+
+
+def test_jaccard_dedup_planted(ray_session, tmp_path):
+    """True-Jaccard dedup drops a planted near-duplicate, keeps distinct
+    docs, and matches the pyoracle expected keep set."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from raycrawl import pyoracle
+    from raycrawl.dedup import jaccard_dedup
+
+    base = "large scale web corpora need exact near duplicate removal " * 30
+    near = base.replace("exact", "precise", 2)
+    other = "unrelated content about arrow record batches and actors " * 30
+    t = pa.table(
+        {
+            "doc_id": pa.array([7, 8, 9], pa.int64()),
+            "text": pa.array([base, near, other], pa.string()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    keep = sorted(r["doc_id"] for r in jaccard_dedup(str(tmp_path)).take_all())
+    assert keep == [7, 9]
+    assert keep == pyoracle.dedup_jaccard(str(tmp_path))["doc_id"].to_pylist()
