@@ -137,8 +137,9 @@ def bench_extract_analyze(corpus: str, repeat: int = 4, warmup: bool = True) -> 
     # measured on this host, 8-CPU worker utilization goes 0.74 -> 0.84
     # versus the raw 31-file layout — stragglers in the last wave were the
     # scaling bottleneck, not per-CPU efficiency (see BENCH/BASELINE.md)
+    blocks_mult = int(os.environ.get("RAYCRAWL_BLOCKS_MULT", "8"))
     base = rd.read_parquet(os.path.join(corpus, "pages.parquet"), columns=["url", "html"],
-                           override_num_blocks=8 * ncpu)
+                           override_num_blocks=blocks_mult * ncpu)
     if warmup:
         base.map_batches(
             parse_analyze, batch_format="pyarrow", zero_copy_batch=True
