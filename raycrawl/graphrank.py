@@ -72,12 +72,21 @@ def host_edges(corpus_dir: str) -> pa.Table:
         .groupby(["src", "dst"])
         .aggregate(Count(alias_name="weight"))
     )
-    return edges.to_pandas()
+    # Canonical (src, dst) order: groupby output block order is
+    # scheduling-dependent, and float accumulation order in pagerank()
+    # follows edge row order — sorting makes rank bit-deterministic (and
+    # driver-hash-checkable against pyoracle's independent edge build).
+    return edges.to_pandas().sort_values(["src", "dst"], ignore_index=True)
 
 
 def pagerank(edges, damping: float = 0.85, n_iter: int = 20) -> dict[str, float]:
     """Power iteration over the aggregated host edge table (pandas df with
-    src/dst/weight). Dangling mass redistributes uniformly."""
+    src/dst/weight). Dangling mass redistributes uniformly.
+
+    PINNED PRIMITIVE (shared with pyoracle, like minhash_signature / the
+    BPE merge list): given the same canonically-sorted edge table it is a
+    pure bit-deterministic float64 function. What the oracle comparison
+    pins independently is the distributed edge aggregation that FEEDS it."""
     hosts = sorted(set(edges["src"]) | set(edges["dst"]))
     n = len(hosts)
     if n == 0:

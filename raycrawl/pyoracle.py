@@ -27,9 +27,11 @@ its own sf_dir BEFORE returning, and `seed_defaults()` (invoked from
 build_oracle_sql) pre-seeds every file from the driver's sf0.01 tables —
 so the comparison is correct whichever side the driver runs first.
 
-Float discipline: only `quality` / the HLL estimate are floats, and both
-are bit-identical by construction (identical float64 operations in
-identical order on both sides).
+Float discipline: only `quality`, the HLL estimate and the PageRank
+`rank` column are floats, and all are bit-identical by construction
+(identical float64 operations in identical order on both sides; rank
+additionally relies on the canonical (src, dst) edge sort both sides
+apply before the shared pinned power iteration).
 """
 
 from __future__ import annotations
@@ -465,6 +467,58 @@ def ann_topk_ivf(
 
 
 # ---------------------------------------------------------------------------
+# host-graph PageRank (independent edge aggregation; pinned power iteration)
+# ---------------------------------------------------------------------------
+
+
+def host_pagerank(sf_dir: str) -> pa.Table:
+    """Expected (host, rank) table: the edge aggregation the engine runs
+    as map_batches -> groupby Count is re-derived here as a single-threaded
+    dict count over the same smoke corpus (per-row primitives host_of /
+    extract_links shared, M10 text/html gate replicated), canonically
+    sorted, then fed to the PINNED power-iteration primitive — so rank is
+    bit-identical iff the distributed aggregation produced exactly the
+    right integer edge weights."""
+    import pandas as pd
+
+    from raycrawl import core
+    from raycrawl.graphrank import pagerank
+    from raycrawl.registry import _smoke_corpus_dir
+
+    corpus = _smoke_corpus_dir(sf_dir)
+    t = pq.read_table(os.path.join(corpus, "pages.parquet"))
+    ctypes = (
+        t["content_type"].to_pylist()
+        if "content_type" in t.column_names
+        else [None] * t.num_rows
+    )
+    counts: dict[tuple[str, str], int] = {}
+    for url, html, ct in zip(t["url"].to_pylist(), t["html"].to_pylist(), ctypes):
+        if ct is not None and not ct.startswith("text/html"):
+            continue
+        src = core.host_of(url)
+        for link in core.extract_links(html or b"", url or ""):
+            key = (src, core.host_of(link))
+            counts[key] = counts.get(key, 0) + 1
+    keys = sorted(counts)
+    edges = pd.DataFrame(
+        {
+            "src": [k[0] for k in keys],
+            "dst": [k[1] for k in keys],
+            "weight": [counts[k] for k in keys],
+        }
+    )
+    ranks = pagerank(edges)
+    items = sorted(ranks.items(), key=lambda kv: (-kv[1], kv[0]))
+    return pa.table(
+        {
+            "host": pa.array([h for h, _ in items], pa.string()),
+            "rank": pa.array([r for _, r in items], pa.float64()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
 # sketches + composite prep
 # ---------------------------------------------------------------------------
 
@@ -548,6 +602,7 @@ COMPUTE = {
     "doc_fingerprint": doc_fingerprint,
     "token_count_bpe": token_count_bpe,
     "approx_distinct": approx_distinct,
+    "host_pagerank": host_pagerank,
     "prep_corpus": prep_corpus,
     "ann_topk_lsh": ann_topk_lsh,
     "ann_topk_ivf": ann_topk_ivf,

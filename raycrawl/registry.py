@@ -323,11 +323,16 @@ def build_queries() -> dict:
         "ann_topk_ivf": _oracled("ann_topk_ivf", similarity.ann_topk_ivf),
         # sampling (O4): deterministic hash-threshold sample, oracle-checked
         "sample_qa": q_sample_qa,
-        # iterative link analysis (rows-only: float power iteration — two
-        # independent float implementations would differ in final ulps)
-        "host_pagerank": lambda sf: __import__(
-            "raycrawl.graphrank", fromlist=["x"]
-        ).q_host_pagerank(sf),
+        # iterative link analysis: the power iteration is a pinned
+        # bit-deterministic primitive over a canonically-sorted edge table,
+        # so pyoracle's independent single-threaded edge aggregation pins
+        # the distributed groupby-Count edge build exactly
+        "host_pagerank": _oracled(
+            "host_pagerank",
+            lambda sf: __import__(
+                "raycrawl.graphrank", fromlist=["x"]
+            ).q_host_pagerank(sf),
+        ),
         # sketches: HLL registers are order/partition independent, so the
         # single-threaded pyoracle pass pins the distributed merge exactly
         "approx_distinct": _oracled(
@@ -377,6 +382,7 @@ def build_oracle_sql() -> dict:
         "doc_fingerprint": _exp("doc_fingerprint", "doc_id, fingerprint"),
         "token_count_bpe": _exp("token_count_bpe", "doc_id, n_tokens_bpe"),
         "approx_distinct": _exp("approx_distinct", 'estimate, "exact", rel_err'),
+        "host_pagerank": _exp("host_pagerank", "host, rank"),
         "ann_topk_lsh": _exp("ann_topk_lsh", "query_id, rank, neighbor_id"),
         "ann_topk_ivf": _exp("ann_topk_ivf", "query_id, rank, neighbor_id"),
         "prep_corpus": _exp(
