@@ -519,6 +519,58 @@ def host_pagerank(sf_dir: str) -> pa.Table:
 
 
 # ---------------------------------------------------------------------------
+# WARC -> CDX (independent offset accounting; pinned framing primitive)
+# ---------------------------------------------------------------------------
+
+
+def cdx_index(sf_dir: str) -> pa.Table:
+    """Expected CDX table WITHOUT ever touching a WARC file or the reader:
+    offsets/lengths are re-derived by accumulating the pinned framing
+    primitive's record sizes over the corpus shards in row order, and the
+    sort is a plain Python sort — so a hash match pins the distributed
+    writer sharding, the reader's member-extent accounting AND the
+    Dataset.sort against this straight-line recomputation."""
+    from raycrawl.registry import _smoke_corpus_dir
+    from raycrawl.sources.warc import (
+        _shard_paths, payload_digest, surt, warc_name, warc_record_bytes,
+    )
+
+    corpus = _smoke_corpus_dir(sf_dir)
+    rows = []
+    for shard in _shard_paths(corpus):
+        t = pq.read_table(shard, columns=["url", "warc_ts", "content_type", "html"])
+        fname = warc_name(os.path.basename(shard))
+        offset = 0
+        for url, ts, ct, h in zip(
+            t["url"].to_pylist(),
+            t["warc_ts"].cast(pa.int64()).to_pylist(),
+            t["content_type"].to_pylist(),
+            t["html"].to_pylist(),
+        ):
+            n = len(warc_record_bytes(url, ts, ct, h or b""))
+            rows.append(
+                {
+                    "url": url, "ts_us": ts, "filename": fname,
+                    "offset": offset, "length": n,
+                    "surt_key": surt(url), "digest": payload_digest(h or b""),
+                }
+            )
+            offset += n
+    rows.sort(key=lambda r: (r["surt_key"], r["ts_us"], r["url"]))
+    return pa.table(
+        {
+            "url": pa.array([r["url"] for r in rows], pa.string()),
+            "ts_us": pa.array([r["ts_us"] for r in rows], pa.int64()),
+            "filename": pa.array([r["filename"] for r in rows], pa.string()),
+            "offset": pa.array([r["offset"] for r in rows], pa.int64()),
+            "length": pa.array([r["length"] for r in rows], pa.int64()),
+            "surt_key": pa.array([r["surt_key"] for r in rows], pa.string()),
+            "digest": pa.array([r["digest"] for r in rows], pa.string()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
 # sketches + composite prep
 # ---------------------------------------------------------------------------
 
@@ -603,6 +655,7 @@ COMPUTE = {
     "token_count_bpe": token_count_bpe,
     "approx_distinct": approx_distinct,
     "host_pagerank": host_pagerank,
+    "cdx_index": cdx_index,
     "prep_corpus": prep_corpus,
     "ann_topk_lsh": ann_topk_lsh,
     "ann_topk_ivf": ann_topk_ivf,

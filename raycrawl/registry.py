@@ -250,6 +250,29 @@ def _oracled(name: str, fn):
     return q
 
 
+def _warc_smoke_dir(sf_dir: str = "") -> tuple[str, str]:
+    """(corpus, warc_dir) for the WARC-converted smoke corpus — same
+    sf-independent fixed-path contract as _smoke_corpus_dir (the static
+    oracle SQL for warc_read reads the CORPUS glob; the warc dir itself
+    is only touched by the Ray side)."""
+    from raycrawl.fixtures.gen_corpus import GEN_VERSION
+
+    corpus = _smoke_corpus_dir(sf_dir)
+    return corpus, f"/tmp/raycrawl_warc_v{GEN_VERSION}_smoke"
+
+
+def q_warc_read(sf_dir: str):
+    from raycrawl.sources import warc
+
+    return warc.q_warc_read(*_warc_smoke_dir(sf_dir))
+
+
+def q_cdx_index(sf_dir: str):
+    from raycrawl.sources import warc
+
+    return warc.q_cdx_index(*_warc_smoke_dir(sf_dir))
+
+
 def build_queries() -> dict:
     return {
         # sources / maps / filters (S1, M8, M9, M13, M14, M1)
@@ -346,6 +369,12 @@ def build_queries() -> dict:
             "prep_corpus",
             lambda sf: __import__("raycrawl.pipelines.prep", fromlist=["x"]).prep_corpus(sf),
         ),
+        # WARC container source/sink (Common Crawl's distribution format):
+        # roundtrip pinned byte-exactly vs the original parquet corpus
+        "warc_read": q_warc_read,
+        # WARC -> sorted CDX index (the distributed-sort operator; pyoracle
+        # recomputes expected member offsets from the framing primitive)
+        "cdx_index": _oracled("cdx_index", q_cdx_index),
         # crawl engine: extract_text/links DuckDB-checked against the
         # fixture's independent oracle columns; crawl_visits/extracted
         # DuckDB-checked against the pyref oracle parquet
@@ -383,6 +412,14 @@ def build_oracle_sql() -> dict:
         "token_count_bpe": _exp("token_count_bpe", "doc_id, n_tokens_bpe"),
         "approx_distinct": _exp("approx_distinct", 'estimate, "exact", rel_err'),
         "host_pagerank": _exp("host_pagerank", "host, rank"),
+        "warc_read": (
+            "SELECT url, epoch_us(warc_ts) AS ts_us, content_type, "
+            "octet_length(html) AS n_bytes, md5(to_hex(html)) AS digest "
+            f"FROM read_parquet('{pages_glob}')"
+        ),
+        "cdx_index": _exp(
+            "cdx_index", 'url, ts_us, filename, "offset", length, surt_key, digest'
+        ),
         "ann_topk_lsh": _exp("ann_topk_lsh", "query_id, rank, neighbor_id"),
         "ann_topk_ivf": _exp("ann_topk_ivf", "query_id, rank, neighbor_id"),
         "prep_corpus": _exp(

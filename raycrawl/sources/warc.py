@@ -1,0 +1,339 @@
+"""WARC source/sink + CDX index — the Common-Crawl container formats.
+
+The north-star corpus is "Common-Crawl-style web pages"; Common Crawl's
+actual distribution unit is the WARC file (ISO 28500: framed records,
+each compressed as an INDEPENDENT gzip member so a reader can seek to a
+record without decompressing the file) plus the CDX index (a sorted
+(SURT-key, timestamp) table carrying each record's file/offset/length so
+range queries prune whole files and fetch single records). This module
+implements both, Ray-Data-first:
+
+- `write_warc`: Parquet corpus -> sharded .warc(.gz) files. One output
+  file PER INPUT PARQUET SHARD, written by a parallel map over the shard
+  list — deterministic names, atomic tmp+rename, skip-if-exists, so a
+  killed conversion resumes without rewriting finished shards (the
+  resumable-output contract every sink in this repo follows).
+- `read_warc`: .warc(.gz) shards -> Dataset of records. File-level
+  parallelism (`read_binary_files`), per-member streaming decompression
+  inside `map_batches`. At 100 TB this is the standard per-WARC-file unit
+  of work (CC files are ~1 GB; keep shards at or below that — the whole
+  file is one object-store block here).
+- `cdx_index`: read -> (surt_key, ts, digest, file/offset/length) ->
+  distributed `Dataset.sort` on the SURT key. The sort is the one
+  all-to-all this pipeline needs (CDX is DEFINED as a sorted index);
+  everything before it is embarrassingly parallel.
+
+Framing and SURT are PINNED per-row primitives (shared with pyoracle,
+like minhash_signature): `warc_record_bytes` defines the record bytes as
+a pure function of the source row, so the oracle can recompute expected
+offsets/lengths single-threaded without ever touching the reader — the
+driver hash-check then pins writer framing, reader parsing, offset
+accounting and the distributed sort against each other.
+
+Gzip members are bit-deterministic: fixed compresslevel, mtime=0 (the
+gzip header embeds mtime otherwise), CPython writes OS byte 255.
+"""
+
+from __future__ import annotations
+
+import gzip
+import hashlib
+import os
+import zlib
+from datetime import datetime, timezone
+from urllib.parse import urlsplit
+
+import pyarrow as pa
+
+_GZ_MAGIC = b"\x1f\x8b"
+_CRLF2 = b"\r\n\r\n"
+
+
+# ---------------------------------------------------------------------------
+# pinned per-row primitives (shared with pyoracle)
+# ---------------------------------------------------------------------------
+
+
+def iso8601(ts_us: int) -> str:
+    """WARC-Date with microsecond precision (exact int64-us roundtrip)."""
+    dt = datetime.fromtimestamp(ts_us // 1_000_000, tz=timezone.utc)
+    return dt.strftime("%Y-%m-%dT%H:%M:%S") + f".{ts_us % 1_000_000:06d}Z"
+
+
+def parse_iso8601(s: str) -> int:
+    dt = datetime.strptime(s[:19], "%Y-%m-%dT%H:%M:%S").replace(tzinfo=timezone.utc)
+    return int(dt.timestamp()) * 1_000_000 + int(s[20:26])
+
+
+def warc_record_bytes(
+    url: str, ts_us: int, content_type: str, payload: bytes,
+    gzip_member: bool = True,
+) -> bytes:
+    """PINNED framing: one WARC/1.0 response record, optionally as an
+    independent gzip member (mtime=0, level 6 — bit-deterministic)."""
+    header = (
+        "WARC/1.0\r\n"
+        "WARC-Type: response\r\n"
+        f"WARC-Target-URI: {url}\r\n"
+        f"WARC-Date: {iso8601(ts_us)}\r\n"
+        f"Content-Type: {content_type}\r\n"
+        f"Content-Length: {len(payload)}\r\n"
+        "\r\n"
+    ).encode()
+    rec = header + payload + _CRLF2
+    return gzip.compress(rec, compresslevel=6, mtime=0) if gzip_member else rec
+
+
+def surt(url: str) -> str:
+    """PINNED simplified SURT (Sort-friendly URI Reordering Transform):
+    'com,example)/path?query' — scheme dropped, host lowercased and
+    dot-reversed, default ports dropped. Groups a registered domain's
+    subdomains contiguously so CDX range scans prune by key prefix."""
+    p = urlsplit(url)
+    host = (p.hostname or "").lower()
+    key = ",".join(reversed(host.split("."))) if host else ""
+    if p.port and p.port not in (80, 443):
+        key += f":{p.port}"
+    out = key + ")" + (p.path or "/")
+    if p.query:
+        out += "?" + p.query
+    return out
+
+
+def payload_digest(payload: bytes) -> str:
+    """md5 over the UPPERCASE hex of the payload — chosen so DuckDB's
+    `md5(to_hex(col))` computes the identical digest for the SQL oracle
+    (DuckDB has no md5(BLOB) overload)."""
+    return hashlib.md5(payload.hex().upper().encode()).hexdigest()
+
+
+def warc_name(parquet_basename: str, gzip_members: bool = True) -> str:
+    stem = parquet_basename.rsplit(".parquet", 1)[0]
+    return f"{stem}.warc.gz" if gzip_members else f"{stem}.warc"
+
+
+# ---------------------------------------------------------------------------
+# sink: Parquet corpus -> WARC shards (parallel, resumable)
+# ---------------------------------------------------------------------------
+
+
+def _shard_paths(corpus_dir: str) -> list[str]:
+    pages = os.path.join(corpus_dir, "pages.parquet")
+    if os.path.isdir(pages):
+        return [os.path.join(pages, f) for f in sorted(os.listdir(pages))
+                if f.endswith(".parquet")]
+    return [pages]
+
+
+def _write_one_shard(in_path: str, out_path: str, gzip_members: bool) -> dict:
+    """Frame one parquet shard's rows (in row order) into one WARC file.
+    Atomic + skip-if-exists: the conversion resumes per shard."""
+    import pyarrow.parquet as pq
+
+    if os.path.exists(out_path):
+        return {"file": os.path.basename(out_path),
+                "n_records": -1, "n_bytes": os.path.getsize(out_path)}
+    t = pq.read_table(in_path, columns=["url", "warc_ts", "content_type", "html"])
+    ts_us = t["warc_ts"].cast(pa.int64()).to_pylist()
+    chunks = [
+        warc_record_bytes(u, ts, ct, h or b"", gzip_members)
+        for u, ts, ct, h in zip(
+            t["url"].to_pylist(), ts_us,
+            t["content_type"].to_pylist(), t["html"].to_pylist(),
+        )
+    ]
+    data = b"".join(chunks)
+    tmp = out_path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(data)
+    os.replace(tmp, out_path)
+    return {"file": os.path.basename(out_path),
+            "n_records": len(chunks), "n_bytes": len(data)}
+
+
+def write_warc(corpus_dir: str, out_dir: str, gzip_members: bool = True) -> pa.Table:
+    """Distributed corpus -> WARC conversion. Parallelism is per shard
+    file (the natural WARC unit); returns the per-shard stats table —
+    one tiny row per shard, safe to collect on the driver."""
+    import ray.data as rd
+
+    os.makedirs(out_dir, exist_ok=True)
+    shards = _shard_paths(corpus_dir)
+
+    def convert(t: pa.Table) -> pa.Table:
+        rows = [
+            _write_one_shard(
+                p, os.path.join(out_dir, warc_name(os.path.basename(p), gzip_members)),
+                gzip_members,
+            )
+            for p in t["path"].to_pylist()
+        ]
+        return pa.Table.from_pylist(rows)
+
+    stats = (
+        rd.from_items([{"path": p} for p in shards])
+        .map_batches(convert, batch_format="pyarrow")
+        .take_all()
+    )
+    return pa.Table.from_pylist(sorted(stats, key=lambda r: r["file"]))
+
+
+# ---------------------------------------------------------------------------
+# source: WARC shards -> Dataset of records
+# ---------------------------------------------------------------------------
+
+
+def parse_warc_file(data: bytes, filename: str) -> list[dict]:
+    """Sequential record walk over one WARC file, tracking each record's
+    (offset, length) IN THE FILE (compressed member extent for .gz —
+    that's what CDX stores so readers can range-request single records)."""
+    out = []
+    pos = 0
+    gz = data[:2] == _GZ_MAGIC
+    while pos < len(data):
+        if gz:
+            d = zlib.decompressobj(47)  # gzip wrapper
+            rec = d.decompress(data[pos:])
+            consumed = len(data) - pos - len(d.unused_data)
+        else:
+            hdr_end = data.index(_CRLF2, pos)
+            head = data[pos:hdr_end].decode()
+            clen = int(head.split("Content-Length:", 1)[1].split("\r\n", 1)[0])
+            consumed = (hdr_end - pos) + 4 + clen + 4
+            rec = data[pos : pos + consumed]
+        rec_head, _, rest = rec.partition(_CRLF2)
+        headers = dict(
+            line.split(": ", 1)
+            for line in rec_head.decode().split("\r\n")[1:]
+            if ": " in line
+        )
+        payload = rest[: int(headers["Content-Length"])]
+        out.append(
+            {
+                "url": headers["WARC-Target-URI"],
+                "ts_us": parse_iso8601(headers["WARC-Date"]),
+                "content_type": headers["Content-Type"],
+                "payload": payload,
+                "filename": filename,
+                "offset": pos,
+                "length": consumed,
+            }
+        )
+        pos += consumed
+    return out
+
+
+def _parse_batch(t: pa.Table) -> pa.Table:
+    """Open + parse inside the task (file-level parallelism). The RAW
+    on-disk bytes are read with plain open(): `read_binary_files` would
+    auto-decompress by the .gz extension (pyarrow stream detection),
+    silently turning CDX member offsets/lengths into uncompressed-stream
+    values."""
+    rows = []
+    for path in t["path"].to_pylist():
+        with open(path, "rb") as f:
+            data = f.read()
+        rows.extend(parse_warc_file(data, os.path.basename(path)))
+    return pa.table(
+        {
+            "url": pa.array([r["url"] for r in rows], pa.string()),
+            "ts_us": pa.array([r["ts_us"] for r in rows], pa.int64()),
+            "content_type": pa.array([r["content_type"] for r in rows], pa.string()),
+            "payload": pa.array([r["payload"] for r in rows], pa.binary()),
+            "filename": pa.array([r["filename"] for r in rows], pa.string()),
+            "offset": pa.array([r["offset"] for r in rows], pa.int64()),
+            "length": pa.array([r["length"] for r in rows], pa.int64()),
+        }
+    )
+
+
+def read_warc(warc_dir: str):
+    """Dataset of WARC records. One read task per file; records exploded
+    inside map_batches (zero driver involvement)."""
+    import ray.data as rd
+
+    paths = [
+        os.path.join(warc_dir, f)
+        for f in sorted(os.listdir(warc_dir))
+        if ".warc" in f and not f.endswith(".tmp")
+    ]
+    # one path-row per block so every file is its own task (and no
+    # zero-column empty blocks — see CLAUDE.md invariant); bytes are
+    # opened inside the task, see _parse_batch.
+    return rd.from_items(
+        [{"path": p} for p in paths], override_num_blocks=max(1, len(paths))
+    ).map_batches(_parse_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# CDX index build (the distributed-sort operator)
+# ---------------------------------------------------------------------------
+
+
+def _cdx_batch(t: pa.Table) -> pa.Table:
+    """surt + digest per record; the (large) payload is DROPPED here so
+    only slim index rows enter the sort shuffle."""
+    surts = [surt(u) for u in t["url"].to_pylist()]
+    digests = [payload_digest(p or b"") for p in t["payload"].to_pylist()]
+    return (
+        t.drop_columns(["payload", "content_type"])
+        .append_column("surt_key", pa.array(surts, pa.string()))
+        .append_column("digest", pa.array(digests, pa.string()))
+    )
+
+
+def ensure_warc_dir(corpus_dir: str, warc_dir: str) -> str:
+    """Idempotent fixture build: convert `corpus_dir` once; a partial dir
+    (interrupted build) self-heals because write_warc skips finished
+    shards and atomically replaces the rest."""
+    expected = {warc_name(os.path.basename(p)) for p in _shard_paths(corpus_dir)}
+    have = set(os.listdir(warc_dir)) if os.path.isdir(warc_dir) else set()
+    if not expected <= have:
+        write_warc(corpus_dir, warc_dir)
+    return warc_dir
+
+
+def q_warc_read(corpus_dir: str, warc_dir: str):
+    """queries() surface: WARC roundtrip — read the converted shards and
+    return per-record (url, ts_us, content_type, n_bytes, digest). The
+    SQL oracle computes the same columns from the ORIGINAL parquet corpus,
+    so a hash match pins framing + parsing byte-exactly (payload itself is
+    digested, not shipped to the driver compare)."""
+
+    def fin(t: pa.Table) -> pa.Table:
+        payloads = t["payload"].to_pylist()
+        return (
+            t.drop_columns(["payload", "filename", "offset", "length"])
+            .append_column(
+                "n_bytes", pa.array([len(p or b"") for p in payloads], pa.int64())
+            )
+            .append_column(
+                "digest",
+                pa.array([payload_digest(p or b"") for p in payloads], pa.string()),
+            )
+        )
+
+    ensure_warc_dir(corpus_dir, warc_dir)
+    return read_warc(warc_dir).map_batches(
+        fin, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def q_cdx_index(corpus_dir: str, warc_dir: str):
+    """queries() surface: the full WARC->CDX build (pyoracle recomputes
+    expected offsets independently from the framing primitive)."""
+    ensure_warc_dir(corpus_dir, warc_dir)
+    return cdx_index(warc_dir)
+
+
+def cdx_index(warc_dir: str):
+    """(surt_key, ts_us, url, digest, filename, offset, length) sorted by
+    (surt_key, ts_us, url) — a Common-Crawl-style CDX index. The sort is
+    a range-partitioned all-to-all over SLIM rows (~100 B/record; the
+    payload never enters the shuffle), so at 10^10 records the exchange
+    moves ~1 TB of index, not 100 TB of page bytes."""
+    return (
+        read_warc(warc_dir)
+        .map_batches(_cdx_batch, batch_format="pyarrow", zero_copy_batch=True)
+        .sort(["surt_key", "ts_us", "url"])
+    )
