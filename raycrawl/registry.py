@@ -273,6 +273,12 @@ def q_cdx_index(sf_dir: str):
     return warc.q_cdx_index(*_warc_smoke_dir(sf_dir))
 
 
+def q_cdx_lookup(sf_dir: str):
+    from raycrawl.sources import warc
+
+    return warc.q_cdx_lookup(*_warc_smoke_dir(sf_dir))
+
+
 def build_queries() -> dict:
     return {
         # sources / maps / filters (S1, M8, M9, M13, M14, M1)
@@ -375,6 +381,8 @@ def build_queries() -> dict:
         # WARC -> sorted CDX index (the distributed-sort operator; pyoracle
         # recomputes expected member offsets from the framing primitive)
         "cdx_index": _oracled("cdx_index", q_cdx_index),
+        # index-driven seek-read fetch (prefix filter + byte-extent reads)
+        "cdx_lookup": q_cdx_lookup,
         # crawl engine: extract_text/links DuckDB-checked against the
         # fixture's independent oracle columns; crawl_visits/extracted
         # DuckDB-checked against the pyref oracle parquet
@@ -419,6 +427,12 @@ def build_oracle_sql() -> dict:
         ),
         "cdx_index": _exp(
             "cdx_index", 'url, ts_us, filename, "offset", length, surt_key, digest'
+        ),
+        "cdx_lookup": (
+            "SELECT url, epoch_us(warc_ts) AS ts_us, "
+            "octet_length(html) AS n_bytes, md5(to_hex(html)) AS digest "
+            f"FROM read_parquet('{pages_glob}') "
+            "WHERE url LIKE 'http://h003.example/%'"
         ),
         "ann_topk_lsh": _exp("ann_topk_lsh", "query_id, rank, neighbor_id"),
         "ann_topk_ivf": _exp("ann_topk_ivf", "query_id, rank, neighbor_id"),

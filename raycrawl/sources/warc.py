@@ -282,6 +282,67 @@ def _cdx_batch(t: pa.Table) -> pa.Table:
     )
 
 
+class _FilterFetch:
+    """Single-stage CDX lookup: filter index rows by SURT-key prefix and
+    seek-read ONLY the matching byte extents (open per distinct file per
+    batch, `seek(offset); read(length)` per record — never a full-file
+    scan; that is the operational payoff of the CDX index). Filter and
+    fetch are fused in one UDF so every input block is non-empty and the
+    OUTPUT schema is always explicit (zero-match batches return an empty
+    table WITH schema — the empty-block unification pitfall in CLAUDE.md).
+
+    At 10^10 records, hash-partition the index by filename first (the
+    salted-groupby pattern crawl.py uses) so one task owns each file's
+    extents; at lookup sizes the per-batch handle cache below is enough.
+    """
+
+    def __init__(self, warc_dir: str, surt_prefix: str):
+        self.warc_dir = warc_dir
+        self.prefix = surt_prefix
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = t.filter(pc.starts_with(t["surt_key"], self.prefix))
+        urls, tss, nb, dg = [], [], [], []
+        handles: dict[str, object] = {}
+        try:
+            for r in t.select(["filename", "offset", "length"]).to_pylist():
+                f = handles.get(r["filename"])
+                if f is None:
+                    f = handles[r["filename"]] = open(
+                        os.path.join(self.warc_dir, r["filename"]), "rb"
+                    )
+                f.seek(r["offset"])
+                rec = parse_warc_file(f.read(r["length"]), r["filename"])[0]
+                urls.append(rec["url"])
+                tss.append(rec["ts_us"])
+                nb.append(len(rec["payload"]))
+                dg.append(payload_digest(rec["payload"]))
+        finally:
+            for f in handles.values():
+                f.close()
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "ts_us": pa.array(tss, pa.int64()),
+                "n_bytes": pa.array(nb, pa.int64()),
+                "digest": pa.array(dg, pa.string()),
+            }
+        )
+
+
+def cdx_lookup(warc_dir: str, cdx, surt_prefix: str):
+    """Fetch the records whose SURT key starts with `surt_prefix`, using
+    only the index extents (digests recomputed from the FETCHED payloads,
+    so a hash match proves the bytes really came off the seek path)."""
+    return cdx.map_batches(
+        _FilterFetch(warc_dir, surt_prefix),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
 def ensure_warc_dir(corpus_dir: str, warc_dir: str) -> str:
     """Idempotent fixture build: convert `corpus_dir` once; a partial dir
     (interrupted build) self-heals because write_warc skips finished
@@ -324,6 +385,16 @@ def q_cdx_index(corpus_dir: str, warc_dir: str):
     expected offsets independently from the framing primitive)."""
     ensure_warc_dir(corpus_dir, warc_dir)
     return cdx_index(warc_dir)
+
+
+def q_cdx_lookup(corpus_dir: str, warc_dir: str, host: str = "h003.example"):
+    """queries() surface: index-driven record fetch for one host — the
+    SQL oracle selects the same host's rows from the ORIGINAL corpus, so
+    a hash match pins prefix filtering, extent addressing and the seeked
+    payload bytes end to end."""
+    ensure_warc_dir(corpus_dir, warc_dir)
+    prefix = ",".join(reversed(host.split("."))) + ")"
+    return cdx_lookup(warc_dir, cdx_index(warc_dir), prefix)
 
 
 def cdx_index(warc_dir: str):

@@ -107,6 +107,30 @@ def test_write_is_resumable(ray_session, smoke_corpus, tmp_path):
     assert sorted(os.listdir(out)) == files
 
 
+def test_cdx_lookup_fetches_exact_payloads(ray_session, smoke_corpus, tmp_path):
+    out = str(tmp_path / "w")
+    warc.write_warc(smoke_corpus, out)
+    idx = warc.cdx_index(out)
+    got = warc.cdx_lookup(out, idx, "example,h003)").to_pandas()
+    src = {
+        (u, ts): h
+        for u, ts, _, h in _corpus_rows(smoke_corpus)
+        if u.startswith("http://h003.example/")
+    }
+    assert len(got) == len(src) > 0
+    for r in got.to_dict("records"):
+        h = src[(r["url"], r["ts_us"])]
+        assert r["n_bytes"] == len(h)
+        assert r["digest"] == warc.payload_digest(h)
+    # zero-match prefix: empty result whose BLOCKS keep the output schema
+    # (no zero-column block leaks into downstream unification; note
+    # Dataset.to_pandas drops columns on an all-empty dataset, so assert
+    # at the dataset/block level)
+    empty = warc.cdx_lookup(out, warc.cdx_index(out), "zz,nohost)")
+    assert empty.count() == 0
+    assert empty.schema().names == ["url", "ts_us", "n_bytes", "digest"]
+
+
 def test_cdx_matches_independent_offsets(ray_session, smoke_corpus, tmp_path):
     """Engine CDX (reader extents + distributed sort) vs offsets
     re-accumulated straight from the framing primitive — no reader."""
