@@ -279,6 +279,12 @@ def q_cdx_lookup(sf_dir: str):
     return warc.q_cdx_lookup(*_warc_smoke_dir(sf_dir))
 
 
+def q_warc_extract(sf_dir: str):
+    from raycrawl.sources import warc
+
+    return warc.q_warc_extract(*_warc_smoke_dir(sf_dir))
+
+
 def build_queries() -> dict:
     return {
         # sources / maps / filters (S1, M8, M9, M13, M14, M1)
@@ -383,6 +389,9 @@ def build_queries() -> dict:
         "cdx_index": _oracled("cdx_index", q_cdx_index),
         # index-driven seek-read fetch (prefix filter + byte-extent reads)
         "cdx_lookup": q_cdx_lookup,
+        # flagship extract fed from the WARC container (byte-identity via
+        # the corpus's independent text column)
+        "warc_extract": q_warc_extract,
         # crawl engine: extract_text/links DuckDB-checked against the
         # fixture's independent oracle columns; crawl_visits/extracted
         # DuckDB-checked against the pyref oracle parquet
@@ -433,6 +442,10 @@ def build_oracle_sql() -> dict:
             "octet_length(html) AS n_bytes, md5(to_hex(html)) AS digest "
             f"FROM read_parquet('{pages_glob}') "
             "WHERE url LIKE 'http://h003.example/%'"
+        ),
+        "warc_extract": (
+            f"SELECT url, text FROM read_parquet('{pages_glob}') "
+            "WHERE content_type LIKE 'text/html%'"
         ),
         "ann_topk_lsh": _exp("ann_topk_lsh", "query_id, rank, neighbor_id"),
         "ann_topk_ivf": _exp("ann_topk_ivf", "query_id, rank, neighbor_id"),

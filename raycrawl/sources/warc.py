@@ -387,6 +387,27 @@ def q_cdx_index(corpus_dir: str, warc_dir: str):
     return cdx_index(warc_dir)
 
 
+def q_warc_extract(corpus_dir: str, warc_dir: str):
+    """queries() surface: the flagship extract pipeline fed FROM the WARC
+    container — read records, gate on text/html (M10), run the pinned
+    extractor on the fetched payload bytes. The SQL oracle reads the
+    corpus's independent text column, so a hash match proves container
+    framing/parsing preserved every html byte the extractor sees."""
+    import pyarrow.compute as pc
+
+    from raycrawl.ops.html import extract_text_batch
+
+    def fin(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.starts_with(t["content_type"], "text/html"))
+        t = extract_text_batch(t, col="payload", out="text")
+        return t.select(["url", "text"])
+
+    ensure_warc_dir(corpus_dir, warc_dir)
+    return read_warc(warc_dir).map_batches(
+        fin, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 def q_cdx_lookup(corpus_dir: str, warc_dir: str, host: str = "h003.example"):
     """queries() surface: index-driven record fetch for one host — the
     SQL oracle selects the same host's rows from the ORIGINAL corpus, so
