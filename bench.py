@@ -182,6 +182,38 @@ def bench_crawl(corpus: str) -> dict:
     }
 
 
+def bench_warc(corpus: str) -> dict:
+    """WARC container path at bench-corpus scale: parquet->WARC convert,
+    CDX build (the distributed sort), one prefix lookup. NOT in the
+    default component set — totals across rounds stay comparable; run
+    with --components warc and record in BENCH/BASELINE.md."""
+    import shutil
+
+    from raycrawl.sources import warc
+
+    out = "/tmp/raycrawl_bench_warc"
+    if os.path.isdir(out):
+        shutil.rmtree(out)
+    t0 = time.perf_counter()
+    stats = warc.write_warc(corpus, out)
+    t1 = time.perf_counter()
+    n_cdx = _consume(warc.cdx_index(out))
+    t2 = time.perf_counter()
+    n_hit = _consume(warc.cdx_lookup(out, warc.cdx_index(out), "example,h003)"))
+    t3 = time.perf_counter()
+    return {
+        "sec": t3 - t0,
+        "convert_sec": t1 - t0,
+        "cdx_sec": t2 - t1,
+        "lookup_sec": t3 - t2,
+        "shards": stats.num_rows,
+        "records": n_cdx,
+        "lookup_hits": n_hit,
+        "convert_pages_per_sec": n_cdx / (t1 - t0),
+        "cdx_records_per_sec": n_cdx / (t2 - t1),
+    }
+
+
 def bench_queries(sf_dir: str) -> dict:
     """Representative generic-operator pipelines at sf0.1."""
     from raycrawl import dedup, relational, similarity, textproc
@@ -256,6 +288,12 @@ def run_once(args) -> dict:
         queries["crawl"] = round(r["sec"], 3)
         throughput["crawl_pages_per_sec"] = round(r["pages_per_sec"], 1)
         throughput["frontier_urls_per_sec"] = round(r["frontier_urls_per_sec"], 1)
+        total += r["sec"]
+    if "warc" in components:
+        r = bench_warc(corpus)
+        queries["warc"] = round(r["sec"], 3)
+        throughput["warc_convert_pages_per_sec"] = round(r["convert_pages_per_sec"], 1)
+        throughput["warc_cdx_records_per_sec"] = round(r["cdx_records_per_sec"], 1)
         total += r["sec"]
     if "queries" in components:
         q = bench_queries(sf_dir)
