@@ -343,6 +343,40 @@ def cdx_lookup(warc_dir: str, cdx, surt_prefix: str):
     )
 
 
+def import_warc(warc_dir: str, corpus_out: str):
+    """WARC -> columnar crawl corpus (`pages.parquet` dir with the crawl
+    engine's projection columns). This is the scale-correct direction for
+    consuming an archive: convert ONCE, then every downstream stage gets
+    parquet column/row-group pruning that the record container can never
+    offer (a WARC read always parses whole records). Returns the written
+    dataset's row count."""
+    import ray.data as rd
+
+    def to_pages(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "url": t["url"],
+                "warc_ts": t["ts_us"].cast(pa.timestamp("us")),
+                "html": t["payload"],
+                "content_type": t["content_type"],
+            }
+        )
+
+    import pyarrow.parquet as pq
+
+    out = os.path.join(corpus_out, "pages.parquet")
+    os.makedirs(out, exist_ok=True)
+    read_warc(warc_dir).map_batches(
+        to_pages, batch_format="pyarrow", zero_copy_batch=True
+    ).write_parquet(out)
+    # row count from footer metadata — no second pipeline execution
+    return sum(
+        pq.ParquetFile(os.path.join(out, f)).metadata.num_rows
+        for f in os.listdir(out)
+        if f.endswith(".parquet")
+    )
+
+
 def ensure_warc_dir(corpus_dir: str, warc_dir: str) -> str:
     """Idempotent fixture build: convert `corpus_dir` once; a partial dir
     (interrupted build) self-heals because write_warc skips finished

@@ -131,6 +131,40 @@ def test_cdx_lookup_fetches_exact_payloads(ray_session, smoke_corpus, tmp_path):
     assert empty.schema().names == ["url", "ts_us", "n_bytes", "digest"]
 
 
+def test_import_warc_crawl_equivalence(ray_session, smoke_corpus, tmp_path):
+    """Full container cycle: corpus -> WARC -> re-imported corpus must
+    produce a BYTE-IDENTICAL crawl (visits + extracted) — the engine's
+    determinism makes the comparison exact regardless of parquet shard
+    layout differences."""
+    import shutil
+
+    from raycrawl.core import CrawlConfig
+    from raycrawl.pipelines.crawl import run_crawl_ray
+
+    wdir = str(tmp_path / "w")
+    warc.write_warc(smoke_corpus, wdir)
+    imported = str(tmp_path / "imported")
+    n = warc.import_warc(wdir, imported)
+    assert n == pads.dataset(os.path.join(smoke_corpus, "pages.parquet")).count_rows()
+    for aux in ("robots.parquet", "seeds.parquet"):
+        shutil.copy(os.path.join(smoke_corpus, aux), os.path.join(imported, aux))
+
+    outs = []
+    for corpus in (smoke_corpus, imported):
+        out = str(tmp_path / ("crawl_" + os.path.basename(corpus)))
+        run_crawl_ray(corpus, out, CrawlConfig(max_rounds=2), resume=False)
+        vis = pads.dataset(os.path.join(out, "visits")).to_table()
+        ext = pads.dataset(os.path.join(out, "extracted")).to_table()
+        outs.append(
+            (
+                sorted(map(tuple, zip(*[vis[c].to_pylist() for c in sorted(vis.column_names)]))),
+                sorted(map(tuple, zip(*[ext[c].to_pylist() for c in sorted(ext.column_names)]))),
+            )
+        )
+    assert outs[0][0] == outs[1][0]  # visits identical
+    assert outs[0][1] == outs[1][1]  # extracted byte-identical
+
+
 def test_cdx_matches_independent_offsets(ray_session, smoke_corpus, tmp_path):
     """Engine CDX (reader extents + distributed sort) vs offsets
     re-accumulated straight from the framing primitive — no reader."""
