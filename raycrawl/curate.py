@@ -1,0 +1,330 @@
+"""Corpus-curation operators for large-scale training-data pipelines:
+C4-style line-level dedup, Gopher-style repetition/quality rules,
+benchmark decontamination (n-gram overlap), and PII redaction.
+
+These complement the document-level near-dup family in `dedup.py` with the
+line/n-gram-level hygiene passes a real pretraining pipeline runs (the
+public C4 / Gopher / RefinedWeb recipes describe the semantics; all code
+here is original). Scale shapes:
+
+- `dedup_lines`: the only shuffle is a slim int64 (line_hash, occ_key)
+  groupby; the duplicated-line winner table (bounded by *duplicate-line
+  density*, not corpus size) broadcasts via `ray.put`, and the rewrite is
+  a single streaming `map_batches` pass over the documents — no second
+  shuffle and no per-doc reassembly groupby.
+- `gopher_quality`: stateless per-batch kernel, integer outputs only so
+  the oracle comparison is exact.
+- `decontaminate`: the benchmark n-gram set is built from a bounded
+  `read_lowest` (row-group-pruned) read and broadcast once; the scan is a
+  single `map_batches` pass with a sorted-array membership probe.
+- `pii_redact`: pure vectorized Arrow (`replace_substring_regex` /
+  `count_substring_regex` — RE2), zero Python-level row loops.
+
+Packing assumption (documented per the brief): `dedup_lines` encodes a
+line occurrence as `doc_id * 2**20 + line_idx`, i.e. doc_id < 2**43 and
+< 2**20 lines per document — both hold with huge margin for a web corpus
+sharded the way `gen_corpus`/TESTDATA.md shard theirs.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Min
+
+from raycrawl import core
+
+_LOG = logging.getLogger(__name__)
+
+_MASK63 = (1 << 63) - 1
+_OCC_SHIFT = 20  # occ_key = doc_id << 20 | line_idx (see module docstring)
+
+
+def _read_docs(sf_dir: str) -> rd.Dataset:
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    return rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"],
+        override_num_blocks=4 * ncpu,
+    )
+
+
+def _line_hash(line: str) -> int:
+    """Pinned line identity: the M2 sha1 hash primitive masked to int64."""
+    return core.url_hash(line) & _MASK63
+
+
+# ---------------------------------------------------------------------------
+# C4-style line-level dedup
+# ---------------------------------------------------------------------------
+
+
+def line_explode_slim(t: pa.Table) -> pa.Table:
+    """(line_hash, occ_key) per dedup-relevant line — whitespace-only lines
+    never dedup (they would all collapse into one). Ships ONLY int64s into
+    the groupby; line text stays in the source blocks."""
+    hashes, occs = [], []
+    for doc_id, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        for idx, line in enumerate((text or "").split("\n")):
+            if not line.strip():
+                continue
+            hashes.append(_line_hash(line))
+            occs.append((doc_id << _OCC_SHIFT) | idx)
+    return pa.table(
+        {
+            "line_hash": pa.array(hashes, pa.int64()),
+            "occ_key": pa.array(occs, pa.int64()),
+        }
+    )
+
+
+class _LineDedupRewrite:
+    """map_batches stage: re-split each doc, drop every duplicated-line
+    occurrence that is not its global winner, reassemble in place. The
+    winner map (duplicated distinct lines only) ships via ray.put once and
+    is built into a dict per actor, not per batch."""
+
+    def __init__(self, winners_ref) -> None:
+        w = ray.get(winners_ref) if isinstance(winners_ref, ray.ObjectRef) else winners_ref
+        self.winner_of = {int(h): int(o) for h, o in zip(w[0], w[1])}
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        out_text, n_kept, n_dropped = [], [], []
+        for doc_id, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            kept, dropped = [], 0
+            for idx, line in enumerate((text or "").split("\n")):
+                if line.strip():
+                    win = self.winner_of.get(_line_hash(line))
+                    if win is not None and win != ((doc_id << _OCC_SHIFT) | idx):
+                        dropped += 1
+                        continue
+                kept.append(line)
+            out_text.append("\n".join(kept))
+            n_kept.append(len(kept))
+            n_dropped.append(dropped)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "text": pa.array(out_text, pa.string()),
+                "n_kept": pa.array(n_kept, pa.int64()),
+                "n_dropped": pa.array(n_dropped, pa.int64()),
+            }
+        )
+
+
+def dedup_lines(sf_dir: str) -> rd.Dataset:
+    """C4-style exact line dedup across the whole corpus: every line that
+    occurs more than once (in any document, including within one document)
+    survives only at its globally-first occurrence — minimal (doc_id,
+    line_idx). Returns the rewritten documents with kept/dropped counts."""
+    docs = _read_docs(sf_dir)
+    occ = docs.map_batches(
+        line_explode_slim, batch_format="pyarrow", zero_copy_batch=True
+    )
+    agg = occ.groupby("line_hash").aggregate(Count(), Min("occ_key"))
+    dup = agg.map_batches(
+        lambda t: t.filter(pc.greater(t["count()"], 1)),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    # Winner table is bounded by DUPLICATED-distinct-line count (dup
+    # density), not corpus size — same driver-boundedness contract as the
+    # minhash candidate-pair set (dedup.py). At pathological dup density a
+    # Dataset.join of occ against winners is the fallback; broadcast is
+    # the measured-fast default.
+    rows = dup.take_all()
+    winners_ref = ray.put(
+        (
+            np.array([r["line_hash"] for r in rows], dtype=np.int64),
+            np.array([r["min(occ_key)"] for r in rows], dtype=np.int64),
+        )
+    )
+    return docs.map_batches(
+        _LineDedupRewrite,
+        fn_constructor_args=(winners_ref,),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, int(ray.cluster_resources().get("CPU", 8))),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition / quality rules
+# ---------------------------------------------------------------------------
+
+
+def gopher_batch(t: pa.Table, col: str = "text") -> pa.Table:
+    """Integer repetition/quality signals per document plus the composite
+    `gopher_pass` gate. All comparisons are integer cross-multiplications
+    (no float ratios), so the result is exactly reproducible:
+
+      pass = 50 <= n_words <= 100000
+             and 10 * n_dup_lines < 3 * max(1, n_nonempty_lines)   (< 30%)
+             and 5 * top2_count <= n_2grams                        (<= 20%)
+             and 3 * n_words <= n_word_chars <= 10 * n_words       (mean 3-10)
+             and 10 * n_symbols <= n_words                         (<= 10%)
+    """
+    cols: dict[str, list[int]] = {
+        k: []
+        for k in (
+            "n_words", "n_word_chars", "n_lines", "n_nonempty_lines",
+            "n_dup_lines", "n_chars_dup_lines", "top2_count", "n_2grams",
+            "n_symbols", "gopher_pass",
+        )
+    }
+    for text in t[col].to_pylist():
+        x = text or ""
+        words = x.split()
+        nw = len(words)
+        nwc = sum(len(w) for w in words)
+        lines = x.split("\n")
+        seen: set[str] = set()
+        ndup = cdup = nne = 0
+        for line in lines:
+            if not line.strip():
+                continue
+            nne += 1
+            if line in seen:
+                ndup += 1
+                cdup += len(line)
+            else:
+                seen.add(line)
+        freq: dict[tuple[str, str], int] = {}
+        top2 = 0
+        for a, b in zip(words, words[1:]):
+            n = freq.get((a, b), 0) + 1
+            freq[(a, b)] = n
+            if n > top2:
+                top2 = n
+        n2 = max(0, nw - 1)
+        nsym = x.count("#") + x.count("...")
+        ok = (
+            50 <= nw <= 100000
+            and 10 * ndup < 3 * max(1, nne)
+            and 5 * top2 <= n2
+            and 3 * nw <= nwc <= 10 * nw
+            and 10 * nsym <= nw
+        )
+        for k, v in (
+            ("n_words", nw), ("n_word_chars", nwc), ("n_lines", len(lines)),
+            ("n_nonempty_lines", nne), ("n_dup_lines", ndup),
+            ("n_chars_dup_lines", cdup), ("top2_count", top2),
+            ("n_2grams", n2), ("n_symbols", nsym), ("gopher_pass", int(ok)),
+        ):
+            cols[k].append(v)
+    out = t.select(["doc_id"])
+    for k, v in cols.items():
+        out = out.append_column(k, pa.array(v, pa.int64()))
+    return out
+
+
+def gopher_quality(sf_dir: str) -> rd.Dataset:
+    return _read_docs(sf_dir).map_batches(
+        gopher_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination (n-gram overlap)
+# ---------------------------------------------------------------------------
+
+N_BENCH_DOCS = 20  # lowest doc_ids form the held-out "benchmark" set
+NGRAM = 8
+
+
+def _gram_hashes(words: list[str]) -> set[int]:
+    return {
+        core.url_hash(" ".join(words[i : i + NGRAM])) & _MASK63
+        for i in range(len(words) - NGRAM + 1)
+    }
+
+
+class _ContamScan:
+    """map_batches stage: distinct word-8-gram overlap count against the
+    broadcast benchmark gram set (sorted-array searchsorted probe)."""
+
+    def __init__(self, grams_ref) -> None:
+        g = ray.get(grams_ref) if isinstance(grams_ref, ray.ObjectRef) else grams_ref
+        self.grams = np.asarray(g, dtype=np.int64)  # sorted
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        n_overlap = []
+        for text in t["text"].to_pylist():
+            hs = _gram_hashes((text or "").split())
+            if not hs or len(self.grams) == 0:
+                n_overlap.append(0)
+                continue
+            arr = np.fromiter(hs, dtype=np.int64, count=len(hs))
+            idx = np.searchsorted(self.grams, arr)
+            idx[idx == len(self.grams)] = 0
+            n_overlap.append(int((self.grams[idx] == arr).sum()))
+        ov = pa.array(n_overlap, pa.int64())
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_overlap": ov,
+                "contaminated": pc.cast(pc.greater(ov, 0), pa.int64()),
+            }
+        )
+
+
+def decontaminate(sf_dir: str) -> rd.Dataset:
+    """Benchmark-decontamination scan: the N_BENCH_DOCS lowest-doc_id
+    documents stand in for a held-out eval set; every corpus document
+    reports its distinct word-8-gram overlap with that set and a
+    contaminated flag (>= 1 shared 8-gram, the standard n-gram rule).
+    The benchmark read is row-group-pruned (`read_lowest`), never a full
+    table scan, and the gram set broadcasts once."""
+    from raycrawl.ioutil import read_lowest
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    bench = read_lowest(path, "doc_id", N_BENCH_DOCS, ["doc_id", "text"])
+    grams: set[int] = set()
+    for text in bench["text"].to_pylist():
+        grams |= _gram_hashes((text or "").split())
+    grams_ref = ray.put(np.array(sorted(grams), dtype=np.int64))
+    return _read_docs(sf_dir).map_batches(
+        _ContamScan,
+        fn_constructor_args=(grams_ref,),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, int(ray.cluster_resources().get("CPU", 8))),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (pure vectorized Arrow / RE2)
+# ---------------------------------------------------------------------------
+
+# Patterns restricted to syntax with identical semantics in RE2 (Arrow)
+# and Python `re` (pyoracle): character classes, bounded repeats, \b —
+# no backrefs, no lookaround. Applied IN ORDER, counting before each
+# replace, so both sides see the same progressively-redacted string.
+PII_RULES: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    (r"\+?\d{3}[-. ]\d{3}[-. ]\d{4}", "<PHONE>"),
+)
+
+
+def pii_batch(t: pa.Table, col: str = "text") -> pa.Table:
+    s = pc.fill_null(t[col], "")
+    total = pa.array(np.zeros(len(t), dtype=np.int64))
+    for pattern, repl in PII_RULES:
+        total = pc.add(
+            total, pc.cast(pc.count_substring_regex(s, pattern=pattern), pa.int64())
+        )
+        s = pc.replace_substring_regex(s, pattern=pattern, replacement=repl)
+    return pa.table(
+        {"doc_id": t["doc_id"], "text_redacted": s, "n_redactions": total}
+    )
+
+
+def pii_redact(sf_dir: str) -> rd.Dataset:
+    return _read_docs(sf_dir).map_batches(
+        pii_batch, batch_format="pyarrow", zero_copy_batch=True
+    )

@@ -640,6 +640,148 @@ def prep_corpus(
 
 
 # ---------------------------------------------------------------------------
+# corpus curation (C4 line dedup / Gopher rules / decontamination / PII)
+# ---------------------------------------------------------------------------
+
+
+def dedup_lines(sf_dir: str) -> pa.Table:
+    """Expected line-dedup rewrite, keyed on the RAW LINE STRING (the
+    engine keys on the pinned 63-bit hash — a mismatch would surface an
+    engine hash collision or packing bug): drop every dedup-relevant line
+    occurrence that is not the global (doc_id, line_idx)-minimal one."""
+    ids, texts = _docs(sf_dir)
+    first: dict[str, tuple[int, int]] = {}
+    for i, x in zip(ids, texts):
+        for idx, line in enumerate((x or "").split("\n")):
+            if not line.strip():
+                continue
+            cur = first.get(line)
+            if cur is None or (i, idx) < cur:
+                first[line] = (i, idx)
+    out_text, n_kept, n_dropped = [], [], []
+    for i, x in zip(ids, texts):
+        kept, dropped = [], 0
+        for idx, line in enumerate((x or "").split("\n")):
+            if line.strip() and first[line] != (i, idx):
+                dropped += 1
+                continue
+            kept.append(line)
+        out_text.append("\n".join(kept))
+        n_kept.append(len(kept))
+        n_dropped.append(dropped)
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array(out_text, pa.string()),
+            "n_kept": pa.array(n_kept, pa.int64()),
+            "n_dropped": pa.array(n_dropped, pa.int64()),
+        }
+    )
+
+
+def gopher_quality(sf_dir: str) -> pa.Table:
+    """Independent per-row reimplementation of the Gopher-rule integer
+    signals (collections.Counter for the 2-gram mode vs the engine's
+    manual running-max dict)."""
+    from collections import Counter
+
+    ids, texts = _docs(sf_dir)
+    cols = {
+        k: []
+        for k in (
+            "n_words", "n_word_chars", "n_lines", "n_nonempty_lines",
+            "n_dup_lines", "n_chars_dup_lines", "top2_count", "n_2grams",
+            "n_symbols", "gopher_pass",
+        )
+    }
+    for x in texts:
+        x = x or ""
+        words = x.split()
+        nw, nwc = len(words), sum(map(len, words))
+        lines = x.split("\n")
+        nonempty = [ln for ln in lines if ln.strip()]
+        line_counts = Counter(nonempty)
+        ndup = sum(c - 1 for c in line_counts.values())
+        cdup = sum((c - 1) * len(ln) for ln, c in line_counts.items())
+        grams = Counter(zip(words, words[1:]))
+        top2 = max(grams.values()) if grams else 0
+        n2 = max(0, nw - 1)
+        nsym = x.count("#") + x.count("...")
+        ok = (
+            50 <= nw <= 100000
+            and 10 * ndup < 3 * max(1, len(nonempty))
+            and 5 * top2 <= n2
+            and 3 * nw <= nwc <= 10 * nw
+            and 10 * nsym <= nw
+        )
+        for k, v in (
+            ("n_words", nw), ("n_word_chars", nwc), ("n_lines", len(lines)),
+            ("n_nonempty_lines", len(nonempty)), ("n_dup_lines", ndup),
+            ("n_chars_dup_lines", cdup), ("top2_count", top2),
+            ("n_2grams", n2), ("n_symbols", nsym), ("gopher_pass", int(ok)),
+        ):
+            cols[k].append(v)
+    out = {"doc_id": pa.array(ids, pa.int64())}
+    out.update({k: pa.array(v, pa.int64()) for k, v in cols.items()})
+    return pa.table(out)
+
+
+def decontaminate(sf_dir: str) -> pa.Table:
+    """Expected contamination scan, keyed on raw 8-word TUPLES (the engine
+    keys on pinned gram hashes + a searchsorted probe): benchmark = the
+    N_BENCH_DOCS lowest doc_ids, full-table scan here."""
+    from raycrawl.curate import N_BENCH_DOCS, NGRAM
+
+    ids, texts = _docs(sf_dir)
+    by_id = sorted(zip(ids, texts))
+    bench_grams: set[tuple] = set()
+    for _, x in by_id[:N_BENCH_DOCS]:
+        ws = (x or "").split()
+        for i in range(len(ws) - NGRAM + 1):
+            bench_grams.add(tuple(ws[i : i + NGRAM]))
+    n_overlap, contaminated = [], []
+    for x in texts:
+        ws = (x or "").split()
+        grams = {tuple(ws[i : i + NGRAM]) for i in range(len(ws) - NGRAM + 1)}
+        n = len(grams & bench_grams)
+        n_overlap.append(n)
+        contaminated.append(int(n > 0))
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_overlap": pa.array(n_overlap, pa.int64()),
+            "contaminated": pa.array(contaminated, pa.int64()),
+        }
+    )
+
+
+def pii_redact(sf_dir: str) -> pa.Table:
+    """Expected PII redaction via Python `re` (the engine runs the same
+    pinned patterns through Arrow's RE2 — two unrelated regex engines must
+    agree byte-for-byte on count + rewrite)."""
+    from raycrawl.curate import PII_RULES
+
+    ids, texts = _docs(sf_dir)
+    compiled = [(re.compile(p), r) for p, r in PII_RULES]
+    out_text, counts = [], []
+    for x in texts:
+        s = x or ""
+        n = 0
+        for rx, repl in compiled:
+            n += len(rx.findall(s))
+            s = rx.sub(repl, s)
+        out_text.append(s)
+        counts.append(n)
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "text_redacted": pa.array(out_text, pa.string()),
+            "n_redactions": pa.array(counts, pa.int64()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
 # registry surface
 # ---------------------------------------------------------------------------
 
@@ -659,6 +801,10 @@ COMPUTE = {
     "prep_corpus": prep_corpus,
     "ann_topk_lsh": ann_topk_lsh,
     "ann_topk_ivf": ann_topk_ivf,
+    "dedup_lines": dedup_lines,
+    "gopher_quality": gopher_quality,
+    "decontaminate": decontaminate,
+    "pii_redact": pii_redact,
 }
 
 

@@ -350,6 +350,27 @@ def build_queries() -> dict:
         "dedup_embedding_lsh": _oracled(
             "dedup_embedding_lsh", similarity.embedding_neardup_lsh
         ),
+        # corpus-curation passes (C4 line dedup / Gopher rules /
+        # benchmark decontamination / PII): engine distributes, pyoracle
+        # re-derives straight-line with independent identities (raw line
+        # strings / word tuples / Python-re vs the engine's pinned hashes
+        # and Arrow-RE2)
+        "dedup_lines": _oracled(
+            "dedup_lines",
+            lambda sf: __import__("raycrawl.curate", fromlist=["x"]).dedup_lines(sf),
+        ),
+        "gopher_quality": _oracled(
+            "gopher_quality",
+            lambda sf: __import__("raycrawl.curate", fromlist=["x"]).gopher_quality(sf),
+        ),
+        "decontaminate": _oracled(
+            "decontaminate",
+            lambda sf: __import__("raycrawl.curate", fromlist=["x"]).decontaminate(sf),
+        ),
+        "pii_redact": _oracled(
+            "pii_redact",
+            lambda sf: __import__("raycrawl.curate", fromlist=["x"]).pii_redact(sf),
+        ),
         # similarity search (the approximate variants are deterministic,
         # so pyoracle re-derives the same pruned candidate sets single-
         # threaded — pinning the distributed partial-top-k merge)
@@ -429,6 +450,15 @@ def build_oracle_sql() -> dict:
         "token_count_bpe": _exp("token_count_bpe", "doc_id, n_tokens_bpe"),
         "approx_distinct": _exp("approx_distinct", 'estimate, "exact", rel_err'),
         "host_pagerank": _exp("host_pagerank", "host, rank"),
+        "dedup_lines": _exp("dedup_lines", "doc_id, text, n_kept, n_dropped"),
+        "gopher_quality": _exp(
+            "gopher_quality",
+            "doc_id, n_words, n_word_chars, n_lines, n_nonempty_lines, "
+            "n_dup_lines, n_chars_dup_lines, top2_count, n_2grams, "
+            "n_symbols, gopher_pass",
+        ),
+        "decontaminate": _exp("decontaminate", "doc_id, n_overlap, contaminated"),
+        "pii_redact": _exp("pii_redact", "doc_id, text_redacted, n_redactions"),
         "warc_read": (
             "SELECT url, epoch_us(warc_ts) AS ts_us, content_type, "
             "octet_length(html) AS n_bytes, md5(to_hex(html)) AS digest "

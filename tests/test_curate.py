@@ -1,0 +1,191 @@
+"""Unit tests for the corpus-curation operators (curate.py): C4-style
+line dedup, Gopher rules, benchmark decontamination, PII redaction.
+Engine-vs-pyoracle equality at corpus scale is covered by
+test_conformance.py (every queries() entry); these pin the semantics on
+crafted inputs."""
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from raycrawl import curate
+
+
+def _write_docs(tmp_path, ids, texts):
+    d = tmp_path / "docs"
+    d.mkdir(exist_ok=True)
+    pq.write_table(
+        pa.table({"doc_id": pa.array(ids, pa.int64()), "text": texts}),
+        str(d / "documents.parquet"),
+    )
+    return str(d)
+
+
+class TestLineDedup:
+    def test_cross_doc_dup_kept_at_first_occurrence(self, ray_session, tmp_path):
+        sf = _write_docs(
+            tmp_path,
+            [0, 1, 2],
+            [
+                "alpha one\nshared line here\nbeta",
+                "shared line here\ngamma two",
+                "delta\nshared line here",
+            ],
+        )
+        out = (
+            curate.dedup_lines(sf)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert out["text"].tolist() == [
+            "alpha one\nshared line here\nbeta",
+            "gamma two",
+            "delta",
+        ]
+        assert out["n_dropped"].tolist() == [0, 1, 1]
+        assert out["n_kept"].tolist() == [3, 1, 1]
+
+    def test_within_doc_dup_and_blank_lines_kept(self, ray_session, tmp_path):
+        sf = _write_docs(
+            tmp_path, [5], ["same line\n\nsame line\n   \nsame line\nother"]
+        )
+        out = curate.dedup_lines(sf).to_pandas()
+        # blank / whitespace-only lines never dedup; first occurrence wins
+        assert out["text"].tolist() == ["same line\n\n   \nother"]
+        assert out["n_dropped"].tolist() == [2]
+
+    def test_matches_pyoracle_on_crafted_corpus(self, ray_session, tmp_path):
+        from raycrawl import pyoracle
+
+        sf = _write_docs(
+            tmp_path,
+            [3, 7, 9],
+            ["x\ny\nz", "y\nq\nx", "z\nz\nnew"],
+        )
+        eng = (
+            curate.dedup_lines(sf)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        ora = pyoracle.dedup_lines(sf).to_pandas()
+        assert eng.equals(ora)
+
+
+class TestGopher:
+    def _one(self, text):
+        t = pa.table({"doc_id": pa.array([1], pa.int64()), "text": [text]})
+        return curate.gopher_batch(t).to_pylist()[0]
+
+    def test_good_doc_passes(self):
+        text = " ".join(f"word{i} item{i} thing{i}" for i in range(30))
+        r = self._one(text)
+        assert r["gopher_pass"] == 1
+        assert r["n_words"] == 90
+        assert r["n_dup_lines"] == 0
+
+    def test_too_short_fails(self):
+        assert self._one("only a few words here")["gopher_pass"] == 0
+
+    def test_dup_lines_fail(self):
+        line = "some repeated content line with plenty of words inside it"
+        text = "\n".join([line] * 10)  # 9/10 dup lines >= 30%
+        r = self._one(text)
+        assert r["n_dup_lines"] == 9
+        assert r["n_chars_dup_lines"] == 9 * len(line)
+        assert r["gopher_pass"] == 0
+
+    def test_repeated_2gram_fails(self):
+        text = "badger badger " * 40  # top 2-gram dominates
+        r = self._one(text.strip())
+        assert 5 * r["top2_count"] > r["n_2grams"]
+        assert r["gopher_pass"] == 0
+
+    def test_symbol_density_fails(self):
+        words = " ".join(f"word{i} extra{i}" for i in range(30))
+        r = self._one(words + " " + "#" * 20)
+        assert r["gopher_pass"] == 0
+
+    def test_empty_doc(self):
+        r = self._one("")
+        assert r["n_words"] == 0 and r["gopher_pass"] == 0
+
+
+class TestDecontaminate:
+    def test_planted_overlap(self, ray_session, tmp_path):
+        bench_text = "zero one two three four five six seven eight nine"
+        filler = ["short filler"] * (curate.N_BENCH_DOCS - 1)
+        # docs 0..19 are the benchmark; doc 20 is clean; doc 21 copies an
+        # 8-gram from benchmark doc 0
+        ids = list(range(curate.N_BENCH_DOCS + 2))
+        texts = (
+            [bench_text]
+            + filler
+            + ["completely unrelated material without any overlap at all whatsoever"]
+            + ["prefix zero one two three four five six seven suffix"]
+        )
+        sf = _write_docs(tmp_path, ids, texts)
+        out = (
+            curate.decontaminate(sf)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        # benchmark doc 0 trivially overlaps itself (3 distinct 8-grams)
+        assert out.loc[0, "contaminated"] == 1 and out.loc[0, "n_overlap"] == 3
+        # short benchmark fillers have no 8-grams at all
+        assert out.loc[1, "n_overlap"] == 0
+        assert out.loc[curate.N_BENCH_DOCS, "contaminated"] == 0
+        assert out.loc[curate.N_BENCH_DOCS + 1, "contaminated"] == 1
+        assert out.loc[curate.N_BENCH_DOCS + 1, "n_overlap"] == 1
+
+
+class TestPII:
+    def _redact(self, texts):
+        t = pa.table(
+            {"doc_id": pa.array(range(len(texts)), pa.int64()), "text": texts}
+        )
+        out = curate.pii_batch(t)
+        return out["text_redacted"].to_pylist(), out["n_redactions"].to_pylist()
+
+    def test_email_ip_phone(self):
+        texts = [
+            "contact bob.smith+x@example.co.uk today",
+            "server at 10.0.255.3 responded",
+            "call +1-555-123-4567 or 555 987 6543",
+            "no pii here at all",
+            None,
+        ]
+        red, n = self._redact(texts)
+        assert red[0] == "contact <EMAIL> today"
+        assert red[1] == "server at <IP> responded"
+        assert "<PHONE>" in red[2]
+        assert red[3] == "no pii here at all"
+        assert red[4] == ""
+        assert n[3] == 0 and n[4] == 0
+
+    def test_email_with_ip_host_redacts_email_first(self):
+        # rules apply in order: the user@host email pattern does NOT match
+        # a numeric TLD, so the IP inside survives to the IP pass
+        red, n = self._redact(["mail user@192.168.1.1 now"])
+        assert red[0] == "mail user@<IP> now"
+        assert n[0] == 1
+
+    def test_matches_python_re_oracle(self):
+        """The Arrow/RE2 engine path must agree byte-for-byte with the
+        Python-re orchestration pyoracle uses."""
+        import re
+
+        texts = [
+            "a@b.com c@d.org overlapping 1.2.3.4.5 phone +123-456-7890x",
+            "edge a@b.c (tld too short) but a@b.co works, ip 999.1.1.1",
+            "dots... and #hash marks 127.0.0.1:8080",
+        ]
+        red, n = self._redact(texts)
+        for i, s in enumerate(texts):
+            m = 0
+            for p, r in curate.PII_RULES:
+                m += len(re.findall(p, s))
+                s = re.sub(p, r, s)
+            assert red[i] == s, f"row {i}"
+            assert n[i] == m, f"row {i}"
