@@ -214,6 +214,29 @@ def bench_warc(corpus: str) -> dict:
     }
 
 
+def bench_curate(sf_dir: str) -> dict:
+    """Composite curation pipeline (gopher gate -> line dedup ->
+    decontamination -> PII redact) over the sf documents table. NOT in
+    the default component set (totals across rounds stay comparable);
+    run with --components curate and record in BENCH/BASELINE.md."""
+    import pyarrow.parquet as pq
+
+    from raycrawl import curate
+
+    n_docs = pq.read_metadata(
+        os.path.join(sf_dir, "documents.parquet")
+    ).num_rows
+    t0 = time.perf_counter()
+    n_kept = _consume(curate.curate_corpus(sf_dir))
+    sec = time.perf_counter() - t0
+    return {
+        "sec": sec,
+        "docs_in": n_docs,
+        "docs_kept": n_kept,
+        "docs_per_sec": n_docs / sec,
+    }
+
+
 def bench_queries(sf_dir: str) -> dict:
     """Representative generic-operator pipelines at sf0.1."""
     from raycrawl import dedup, relational, similarity, textproc
@@ -294,6 +317,11 @@ def run_once(args) -> dict:
         queries["warc"] = round(r["sec"], 3)
         throughput["warc_convert_pages_per_sec"] = round(r["convert_pages_per_sec"], 1)
         throughput["warc_cdx_records_per_sec"] = round(r["cdx_records_per_sec"], 1)
+        total += r["sec"]
+    if "curate" in components:
+        r = bench_curate(sf_dir)
+        queries["curate"] = round(r["sec"], 3)
+        throughput["curate_docs_per_sec"] = round(r["docs_per_sec"], 1)
         total += r["sec"]
     if "queries" in components:
         q = bench_queries(sf_dir)

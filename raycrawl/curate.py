@@ -122,7 +122,12 @@ def dedup_lines(sf_dir: str) -> rd.Dataset:
     occurs more than once (in any document, including within one document)
     survives only at its globally-first occurrence — minimal (doc_id,
     line_idx). Returns the rewritten documents with kept/dropped counts."""
-    docs = _read_docs(sf_dir)
+    return dedup_lines_ds(_read_docs(sf_dir))
+
+
+def dedup_lines_ds(docs: rd.Dataset) -> rd.Dataset:
+    """Dataset-level line dedup (shared by `dedup_lines` and the composite
+    `curate_corpus`, whose input is already gopher-filtered)."""
     occ = docs.map_batches(
         line_explode_slim, batch_format="pyarrow", zero_copy_batch=True
     )
@@ -245,11 +250,14 @@ def _gram_hashes(words: list[str]) -> set[int]:
 
 class _ContamScan:
     """map_batches stage: distinct word-8-gram overlap count against the
-    broadcast benchmark gram set (sorted-array searchsorted probe)."""
+    broadcast benchmark gram set (sorted-array searchsorted probe). With
+    `gate=True` it instead FILTERS the batch to overlap-free rows (all
+    input columns preserved) for use inside composite pipelines."""
 
-    def __init__(self, grams_ref) -> None:
+    def __init__(self, grams_ref, gate: bool = False) -> None:
         g = ray.get(grams_ref) if isinstance(grams_ref, ray.ObjectRef) else grams_ref
         self.grams = np.asarray(g, dtype=np.int64)  # sorted
+        self.gate = gate
 
     def __call__(self, t: pa.Table) -> pa.Table:
         n_overlap = []
@@ -263,6 +271,8 @@ class _ContamScan:
             idx[idx == len(self.grams)] = 0
             n_overlap.append(int((self.grams[idx] == arr).sum()))
         ov = pa.array(n_overlap, pa.int64())
+        if self.gate:
+            return t.filter(pc.equal(ov, 0))
         return pa.table(
             {
                 "doc_id": t["doc_id"],
@@ -272,13 +282,10 @@ class _ContamScan:
         )
 
 
-def decontaminate(sf_dir: str) -> rd.Dataset:
-    """Benchmark-decontamination scan: the N_BENCH_DOCS lowest-doc_id
-    documents stand in for a held-out eval set; every corpus document
-    reports its distinct word-8-gram overlap with that set and a
-    contaminated flag (>= 1 shared 8-gram, the standard n-gram rule).
-    The benchmark read is row-group-pruned (`read_lowest`), never a full
-    table scan, and the gram set broadcasts once."""
+def _bench_grams_ref(sf_dir: str):
+    """Broadcast handle for the benchmark 8-gram hash set, built from the
+    RAW text of the N_BENCH_DOCS lowest-doc_id documents via a
+    row-group-pruned read (never a full-table scan)."""
     from raycrawl.ioutil import read_lowest
 
     path = os.path.join(sf_dir, "documents.parquet")
@@ -286,7 +293,17 @@ def decontaminate(sf_dir: str) -> rd.Dataset:
     grams: set[int] = set()
     for text in bench["text"].to_pylist():
         grams |= _gram_hashes((text or "").split())
-    grams_ref = ray.put(np.array(sorted(grams), dtype=np.int64))
+    return ray.put(np.array(sorted(grams), dtype=np.int64))
+
+
+def decontaminate(sf_dir: str) -> rd.Dataset:
+    """Benchmark-decontamination scan: the N_BENCH_DOCS lowest-doc_id
+    documents stand in for a held-out eval set; every corpus document
+    reports its distinct word-8-gram overlap with that set and a
+    contaminated flag (>= 1 shared 8-gram, the standard n-gram rule).
+    The benchmark read is row-group-pruned (`read_lowest`), never a full
+    table scan, and the gram set broadcasts once."""
+    grams_ref = _bench_grams_ref(sf_dir)
     return _read_docs(sf_dir).map_batches(
         _ContamScan,
         fn_constructor_args=(grams_ref,),
@@ -327,4 +344,59 @@ def pii_batch(t: pa.Table, col: str = "text") -> pa.Table:
 def pii_redact(sf_dir: str) -> rd.Dataset:
     return _read_docs(sf_dir).map_batches(
         pii_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+# ---------------------------------------------------------------------------
+# composite curation pipeline
+# ---------------------------------------------------------------------------
+
+
+def gopher_gate(t: pa.Table) -> pa.Table:
+    """Filter a (doc_id, text) batch to Gopher-passing rows."""
+    return t.filter(pc.cast(gopher_batch(t)["gopher_pass"], pa.bool_()))
+
+
+def _curate_finalize(t: pa.Table) -> pa.Table:
+    """PII-redact the curated text and shape the composite output."""
+    red = pii_batch(t)
+    return pa.table(
+        {
+            "doc_id": t["doc_id"],
+            "text": red["text_redacted"],
+            "n_dropped_lines": t["n_dropped"],
+            "n_redactions": red["n_redactions"],
+        }
+    )
+
+
+def curate_corpus(sf_dir: str) -> rd.Dataset:
+    """The full curation recipe as ONE pipeline, in the order a real
+    pretraining run applies it:
+
+      1. Gopher quality gate (on the original text),
+      2. global line dedup among survivors,
+      3. benchmark-decontamination drop (8-gram overlap, computed on the
+         DEDUPED text, against grams from the RAW benchmark docs),
+      4. PII redaction on what remains.
+
+    Scale shape: stages 1, 3 and 4 are map-only and fuse with their
+    neighbours under Ray Data's streaming executor; the only all-to-all
+    is the slim int64 line-hash groupby inside step 2. The benchmark gram
+    set and the duplicated-line winner table are each broadcast once.
+    Output: doc_id, text (curated), n_dropped_lines, n_redactions."""
+    grams_ref = _bench_grams_ref(sf_dir)
+    survivors = _read_docs(sf_dir).map_batches(
+        gopher_gate, batch_format="pyarrow", zero_copy_batch=True
+    )
+    deduped = dedup_lines_ds(survivors)
+    clean = deduped.map_batches(
+        _ContamScan,
+        fn_constructor_args=(grams_ref, True),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, int(ray.cluster_resources().get("CPU", 8))),
+    )
+    return clean.map_batches(
+        _curate_finalize, batch_format="pyarrow", zero_copy_batch=True
     )

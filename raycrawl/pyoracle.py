@@ -644,12 +644,14 @@ def prep_corpus(
 # ---------------------------------------------------------------------------
 
 
-def dedup_lines(sf_dir: str) -> pa.Table:
-    """Expected line-dedup rewrite, keyed on the RAW LINE STRING (the
-    engine keys on the pinned 63-bit hash — a mismatch would surface an
-    engine hash collision or packing bug): drop every dedup-relevant line
-    occurrence that is not the global (doc_id, line_idx)-minimal one."""
-    ids, texts = _docs(sf_dir)
+def _dedup_lines_core(
+    ids: list[int], texts: list[str]
+) -> tuple[list[str], list[int], list[int]]:
+    """Line-dedup rewrite over an explicit (ids, texts) row set, keyed on
+    the RAW LINE STRING (the engine keys on the pinned 63-bit hash — a
+    mismatch would surface an engine hash collision or packing bug): drop
+    every dedup-relevant line occurrence that is not the global (doc_id,
+    line_idx)-minimal one."""
     first: dict[str, tuple[int, int]] = {}
     for i, x in zip(ids, texts):
         for idx, line in enumerate((x or "").split("\n")):
@@ -669,6 +671,13 @@ def dedup_lines(sf_dir: str) -> pa.Table:
         out_text.append("\n".join(kept))
         n_kept.append(len(kept))
         n_dropped.append(dropped)
+    return out_text, n_kept, n_dropped
+
+
+def dedup_lines(sf_dir: str) -> pa.Table:
+    """Expected whole-corpus line-dedup rewrite (see _dedup_lines_core)."""
+    ids, texts = _docs(sf_dir)
+    out_text, n_kept, n_dropped = _dedup_lines_core(ids, texts)
     return pa.table(
         {
             "doc_id": pa.array(ids, pa.int64()),
@@ -755,13 +764,12 @@ def decontaminate(sf_dir: str) -> pa.Table:
     )
 
 
-def pii_redact(sf_dir: str) -> pa.Table:
-    """Expected PII redaction via Python `re` (the engine runs the same
-    pinned patterns through Arrow's RE2 — two unrelated regex engines must
-    agree byte-for-byte on count + rewrite)."""
+def _pii_core(texts: list[str]) -> tuple[list[str], list[int]]:
+    """PII redaction via Python `re` (the engine runs the same pinned
+    patterns through Arrow's RE2 — two unrelated regex engines must agree
+    byte-for-byte on count + rewrite)."""
     from raycrawl.curate import PII_RULES
 
-    ids, texts = _docs(sf_dir)
     compiled = [(re.compile(p), r) for p, r in PII_RULES]
     out_text, counts = [], []
     for x in texts:
@@ -772,11 +780,67 @@ def pii_redact(sf_dir: str) -> pa.Table:
             s = rx.sub(repl, s)
         out_text.append(s)
         counts.append(n)
+    return out_text, counts
+
+
+def pii_redact(sf_dir: str) -> pa.Table:
+    ids, texts = _docs(sf_dir)
+    out_text, counts = _pii_core(texts)
     return pa.table(
         {
             "doc_id": pa.array(ids, pa.int64()),
             "text_redacted": pa.array(out_text, pa.string()),
             "n_redactions": pa.array(counts, pa.int64()),
+        }
+    )
+
+
+def curate_corpus(sf_dir: str) -> pa.Table:
+    """Expected output of the composite curation pipeline, re-derived
+    straight-line in the engine's documented stage order: Gopher gate on
+    the raw text, line dedup among SURVIVORS only, benchmark-
+    decontamination drop (grams from the RAW lowest-doc_id docs, overlap
+    computed on the DEDUPED text), then PII redaction. Identities stay
+    independent of the engine's: raw line strings vs pinned line hashes,
+    word tuples vs pinned gram hashes, Python `re` vs Arrow RE2."""
+    from raycrawl.curate import N_BENCH_DOCS, NGRAM
+
+    ids, texts = _docs(sf_dir)
+    # benchmark gram set from the RAW corpus (engine: read_lowest)
+    bench_grams: set[tuple] = set()
+    for _, x in sorted(zip(ids, texts))[:N_BENCH_DOCS]:
+        ws = (x or "").split()
+        for i in range(len(ws) - NGRAM + 1):
+            bench_grams.add(tuple(ws[i : i + NGRAM]))
+    # 1. Gopher gate — reuse the independent per-row reimplementation
+    gq = gopher_quality(sf_dir)
+    passed = {
+        i
+        for i, p in zip(gq["doc_id"].to_pylist(), gq["gopher_pass"].to_pylist())
+        if p
+    }
+    s_ids = [i for i in ids if i in passed]
+    s_texts = [x for i, x in zip(ids, texts) if i in passed]
+    # 2. global line dedup among survivors
+    d_texts, _, n_dropped = _dedup_lines_core(s_ids, s_texts)
+    # 3. decontamination drop on the deduped text
+    k_ids, k_texts, k_dropped = [], [], []
+    for i, x, nd in zip(s_ids, d_texts, n_dropped):
+        ws = (x or "").split()
+        grams = {tuple(ws[j : j + NGRAM]) for j in range(len(ws) - NGRAM + 1)}
+        if grams & bench_grams:
+            continue
+        k_ids.append(i)
+        k_texts.append(x)
+        k_dropped.append(nd)
+    # 4. PII redaction on what remains
+    out_text, n_red = _pii_core(k_texts)
+    return pa.table(
+        {
+            "doc_id": pa.array(k_ids, pa.int64()),
+            "text": pa.array(out_text, pa.string()),
+            "n_dropped_lines": pa.array(k_dropped, pa.int64()),
+            "n_redactions": pa.array(n_red, pa.int64()),
         }
     )
 
@@ -805,6 +869,7 @@ COMPUTE = {
     "gopher_quality": gopher_quality,
     "decontaminate": decontaminate,
     "pii_redact": pii_redact,
+    "curate_corpus": curate_corpus,
 }
 
 

@@ -371,6 +371,13 @@ def build_queries() -> dict:
             "pii_redact",
             lambda sf: __import__("raycrawl.curate", fromlist=["x"]).pii_redact(sf),
         ),
+        # the four passes composed into one streaming pipeline (gopher
+        # gate -> line dedup among survivors -> decontamination drop ->
+        # PII redact); pyoracle re-derives the whole chain straight-line
+        "curate_corpus": _oracled(
+            "curate_corpus",
+            lambda sf: __import__("raycrawl.curate", fromlist=["x"]).curate_corpus(sf),
+        ),
         # similarity search (the approximate variants are deterministic,
         # so pyoracle re-derives the same pruned candidate sets single-
         # threaded — pinning the distributed partial-top-k merge)
@@ -459,6 +466,9 @@ def build_oracle_sql() -> dict:
         ),
         "decontaminate": _exp("decontaminate", "doc_id, n_overlap, contaminated"),
         "pii_redact": _exp("pii_redact", "doc_id, text_redacted, n_redactions"),
+        "curate_corpus": _exp(
+            "curate_corpus", "doc_id, text, n_dropped_lines, n_redactions"
+        ),
         "warc_read": (
             "SELECT url, epoch_us(warc_ts) AS ts_us, content_type, "
             "octet_length(html) AS n_bytes, md5(to_hex(html)) AS digest "

@@ -189,3 +189,70 @@ class TestPII:
                 s = re.sub(p, r, s)
             assert red[i] == s, f"row {i}"
             assert n[i] == m, f"row {i}"
+
+
+class TestCurateCorpus:
+    """End-to-end composite pipeline: gopher gate -> line dedup among
+    survivors -> decontamination drop -> PII redact, engine vs pyoracle."""
+
+    def _corpus(self, tmp_path):
+        bench_secret = "zebra quag plume vortex ember lattice crag fjord"
+        ids, texts = [], []
+        # 20 "benchmark" docs (lowest doc_ids). All fail gopher (<50
+        # words); doc 3 carries the 8-gram that real doc 30 will copy.
+        for i in range(20):
+            t = f"bench doc number {i} short"
+            if i == 3:
+                t = f"bench doc {i} " + bench_secret
+            ids.append(i)
+            texts.append(t)
+        def words(tag, n):
+            return " ".join(f"w{j}x{tag}" for j in range(n))
+        # 25: fails gopher (too short) -> dropped at stage 1
+        ids.append(25); texts.append(words(25, 10))
+        # 30: passes gopher but contains the benchmark 8-gram -> dropped
+        # at stage 3
+        ids.append(30); texts.append(words(30, 52) + " " + bench_secret)
+        # 31/32: share a line; 31 wins the dedup (lower doc_id)
+        shared = "shared curated alpha beta gamma delta epsilon zeta"
+        ids.append(31)
+        texts.append(words("a31", 30) + "\n" + shared + "\n" + words("b31", 20))
+        ids.append(32); texts.append(shared + "\n" + words(32, 50))
+        # 33: clean doc with PII
+        ids.append(33)
+        texts.append(
+            words(33, 55) + "\nmail bob@example.com or call +123-456-7890"
+        )
+        d = tmp_path / "docs"
+        d.mkdir(exist_ok=True)
+        pq.write_table(
+            pa.table({"doc_id": pa.array(ids, pa.int64()), "text": texts}),
+            str(d / "documents.parquet"),
+        )
+        return str(d)
+
+    def test_matches_pyoracle_end_to_end(self, ray_session, tmp_path):
+        from raycrawl import pyoracle
+
+        sf = self._corpus(tmp_path)
+        eng = (
+            curate.curate_corpus(sf)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        ora = pyoracle.curate_corpus(sf).to_pandas()
+        assert eng.equals(ora), (eng, ora)
+        # semantic spot checks: gopher drop, contamination drop, dedup
+        # winner, PII redaction
+        kept = eng["doc_id"].tolist()
+        assert 25 not in kept and 30 not in kept
+        assert {31, 32, 33} <= set(kept)
+        row32 = eng[eng["doc_id"] == 32].iloc[0]
+        assert row32["n_dropped_lines"] == 1
+        assert "shared curated" not in row32["text"]
+        row31 = eng[eng["doc_id"] == 31].iloc[0]
+        assert "shared curated" in row31["text"]
+        row33 = eng[eng["doc_id"] == 33].iloc[0]
+        assert row33["n_redactions"] == 2
+        assert "<EMAIL>" in row33["text"] and "<PHONE>" in row33["text"]
