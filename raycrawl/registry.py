@@ -329,6 +329,13 @@ def build_queries() -> dict:
             lambda sf: __import__("raycrawl.bpe", fromlist=["x"]).token_count_bpe(sf),
         ),
         "text_quality": textproc.text_quality,
+        # vocabulary stats / splits / chunking (direct-SQL-checked; the
+        # engine pins whitespace to RE2 \s so DuckDB string_split_regex
+        # agrees byte-for-byte)
+        "word_topk": textproc.word_topk,
+        "hash_split": textproc.hash_split,
+        "chunk_tokens": textproc.chunk_tokens,
+        "pack_sequences": textproc.pack_sequences,
         "lang_id": _oracled("lang_id", textproc.language_id),
         "doc_fingerprint": _oracled("doc_fingerprint", textproc.fingerprints),
         "quality_score": _oracled("quality_score", q_quality_score),
@@ -643,6 +650,48 @@ def build_oracle_sql() -> dict:
             "SELECT doc_id, CASE WHEN trim(text) = '' THEN 0 ELSE "
             "array_length(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens "
             "FROM documents"
+        ),
+        "word_topk": (
+            "SELECT word, CAST(COUNT(*) AS BIGINT) AS n "
+            "FROM (SELECT unnest(string_split_regex(text, '\\s+')) AS word "
+            "FROM documents) WHERE word <> '' "
+            "GROUP BY word ORDER BY n DESC, word LIMIT 100"
+        ),
+        "hash_split": (
+            "SELECT doc_id, CAST(b AS BIGINT) AS bucket, "
+            "CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' "
+            "ELSE 'test' END AS split FROM (SELECT doc_id, "
+            "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) "
+            "AS UBIGINT) % 100 AS b FROM documents)"
+        ),
+        "chunk_tokens": (
+            "WITH t AS (SELECT doc_id, "
+            "list_filter(string_split_regex(text, '\\s+'), w -> w <> '') "
+            "AS toks FROM documents), "
+            "x AS (SELECT doc_id, toks, "
+            "unnest(range(CAST(ceil(len(toks) / 64.0) AS BIGINT))) AS i "
+            "FROM t) "
+            "SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx, "
+            "CAST(len(list_slice(toks, i * 64 + 1, i * 64 + 64)) AS BIGINT) "
+            "AS n_tokens, "
+            "md5(array_to_string(list_slice(toks, i * 64 + 1, i * 64 + 64), "
+            "' ')) AS tok_hash FROM x"
+        ),
+        "pack_sequences": (
+            "WITH p AS (SELECT doc_id // 256 AS part, "
+            "string_agg(text, ' ' ORDER BY doc_id) AS alltext "
+            "FROM documents GROUP BY doc_id // 256), "
+            "t AS (SELECT part, "
+            "list_filter(string_split_regex(alltext, '\\s+'), w -> w <> '') "
+            "AS toks FROM p), "
+            "x AS (SELECT part, toks, "
+            "unnest(range(CAST(ceil(len(toks) / 64.0) AS BIGINT))) AS i "
+            "FROM t) "
+            "SELECT CAST(part AS BIGINT) AS part, CAST(i AS BIGINT) AS seq_idx, "
+            "CAST(len(list_slice(toks, i * 64 + 1, i * 64 + 64)) AS BIGINT) "
+            "AS n_tokens, "
+            "md5(array_to_string(list_slice(toks, i * 64 + 1, i * 64 + 64), "
+            "' ')) AS tok_hash FROM x"
         ),
         "text_quality": (
             "SELECT doc_id, length(text) AS n_chars2, "

@@ -168,3 +168,155 @@ def fingerprints(sf_dir: str) -> rd.Dataset:
         .map_batches(fingerprint_batch, batch_format="pyarrow", zero_copy_batch=True)
         .select_columns(["doc_id", "fingerprint"])
     )
+
+
+# ---------------------------------------------------------------------------
+# vocabulary stats / dataset splits / sequence chunking
+# ---------------------------------------------------------------------------
+
+# Whitespace pinned to RE2 `\s` semantics ([\t\n\f\r ] — NO \v) so the
+# engine agrees byte-for-byte with DuckDB's string_split_regex(text,'\s+')
+# in the oracle SQL.
+_RE2_WS = re.compile(r"[ \t\n\f\r]+")
+
+
+def _split_re2_ws(text: str | None) -> list[str]:
+    return [w for w in _RE2_WS.split(text or "") if w]
+
+
+def word_count_partial(t: pa.Table, col: str = "text") -> pa.Table:
+    """Combiner: per-batch word counts. Shrinks the groupby shuffle from
+    total-token volume to distinct-words-per-batch — the partial/final
+    shape every 100-TB wordcount needs."""
+    from collections import Counter
+
+    c: Counter[str] = Counter()
+    for x in t[col].to_pylist():
+        c.update(_split_re2_ws(x))
+    return pa.table(
+        {
+            "word": pa.array(list(c.keys()), pa.string()),
+            "n": pa.array(list(c.values()), pa.int64()),
+        }
+    )
+
+
+def word_topk(sf_dir: str, k: int = 100) -> rd.Dataset:
+    """Global word-frequency top-k over the documents table: in-batch
+    partial counts -> slim (word, n) groupby sum -> deterministic
+    (n desc, word asc) sort -> limit k. The sort runs on the
+    distinct-vocabulary table, not the corpus."""
+    from ray.data.aggregate import Sum
+
+    ds = _docs_ds(sf_dir).map_batches(
+        word_count_partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    agg = ds.groupby("word").aggregate(Sum("n")).rename_columns({"sum(n)": "n"})
+    return agg.sort(["n", "word"], descending=[True, False]).limit(k)
+
+
+def hash_split_batch(t: pa.Table) -> pa.Table:
+    """Deterministic train/val/test assignment by md5(doc_id): decorrelated
+    from id order, stable across runs/partitionings, no shuffle at all."""
+    buckets, splits = [], []
+    for i in t["doc_id"].to_pylist():
+        b = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 100
+        buckets.append(b)
+        splits.append("train" if b < 90 else "val" if b < 95 else "test")
+    return pa.table(
+        {
+            "doc_id": t["doc_id"],
+            "bucket": pa.array(buckets, pa.int64()),
+            "split": pa.array(splits, pa.string()),
+        }
+    )
+
+
+def hash_split(sf_dir: str) -> rd.Dataset:
+    return _docs_ds(sf_dir).map_batches(
+        hash_split_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+CHUNK_SEQ_LEN = 64  # query-surface default; must match the oracle SQL
+
+
+def chunk_tokens_batch(t: pa.Table, seq_len: int = CHUNK_SEQ_LEN) -> pa.Table:
+    """Per-document fixed-length token chunking (the map-only flavor of
+    training-sequence packing: no cross-doc packing, so it stays
+    embarrassingly parallel; `pack_sequences` does the cross-doc fill).
+    Emits md5 of the space-joined chunk so oracles hash-check content."""
+    out_id, out_idx, out_n, out_h = [], [], [], []
+    for doc_id, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        toks = _split_re2_ws(x)
+        for ci in range((len(toks) + seq_len - 1) // seq_len):
+            seg = toks[ci * seq_len : (ci + 1) * seq_len]
+            out_id.append(doc_id)
+            out_idx.append(ci)
+            out_n.append(len(seg))
+            out_h.append(hashlib.md5(" ".join(seg).encode()).hexdigest())
+    return pa.table(
+        {
+            "doc_id": pa.array(out_id, pa.int64()),
+            "chunk_idx": pa.array(out_idx, pa.int64()),
+            "n_tokens": pa.array(out_n, pa.int64()),
+            "tok_hash": pa.array(out_h, pa.string()),
+        }
+    )
+
+
+def chunk_tokens(sf_dir: str) -> rd.Dataset:
+    return _docs_ds(sf_dir).map_batches(
+        chunk_tokens_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def _docs_ds(sf_dir: str) -> rd.Dataset:
+    return rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+
+PACK_PART_DOCS = 256  # docs per packing partition; must match the oracle SQL
+
+
+def pack_sequences(sf_dir: str, seq_len: int = CHUNK_SEQ_LEN) -> rd.Dataset:
+    """Cross-document training-sequence packing (GPT-style concat-and-cut):
+    within each deterministic doc_id-range partition (PACK_PART_DOCS docs),
+    concatenate token streams in doc_id order and cut fixed seq_len
+    windows. Partition-local packing is the documented 100-TB tradeoff:
+    global greedy packing is inherently sequential, while per-partition
+    packing wastes at most one partial tail sequence per partition and
+    keeps the only all-to-all a doc_id-range groupby — which is nearly a
+    no-op shuffle when the input is already doc_id-ordered parquet."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    def pack(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("doc_id")
+        toks: list[str] = []
+        for x in df["text"]:
+            toks.extend(_split_re2_ws(x))
+        part = int(df["part"].iloc[0])
+        n_seq = (len(toks) + seq_len - 1) // seq_len
+        segs = [toks[i * seq_len : (i + 1) * seq_len] for i in range(n_seq)]
+        return pd.DataFrame(
+            {
+                "part": pd.Series([part] * n_seq, dtype="int64"),
+                "seq_idx": pd.Series(range(n_seq), dtype="int64"),
+                "n_tokens": pd.Series([len(s) for s in segs], dtype="int64"),
+                "tok_hash": pd.Series(
+                    [hashlib.md5(" ".join(s).encode()).hexdigest() for s in segs],
+                    dtype="object",
+                ),
+            }
+        )
+
+    ds = _docs_ds(sf_dir).map_batches(
+        lambda t: t.append_column(
+            "part", pc.divide(t["doc_id"], PACK_PART_DOCS)
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return ds.groupby("part").map_groups(pack, batch_format="pandas")

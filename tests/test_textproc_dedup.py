@@ -263,3 +263,109 @@ def test_jaccard_dedup_planted(ray_session, tmp_path):
     keep = sorted(r["doc_id"] for r in jaccard_dedup(str(tmp_path)).take_all())
     assert keep == [7, 9]
     assert keep == pyoracle.dedup_jaccard(str(tmp_path))["doc_id"].to_pylist()
+
+
+# ---------------------------------------------------------------------------
+# vocabulary stats / splits / chunking / packing (round-3 additions)
+# ---------------------------------------------------------------------------
+
+
+def _write_doc_table(tmp_path, ids, texts):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "vocab_docs"
+    d.mkdir(exist_ok=True)
+    pq.write_table(
+        pa.table({"doc_id": pa.array(ids, pa.int64()), "text": texts}),
+        str(d / "documents.parquet"),
+    )
+    return str(d)
+
+
+class TestWordTopk:
+    def test_counts_and_tie_order(self, ray_session, tmp_path):
+        from raycrawl import textproc
+
+        sf = _write_doc_table(
+            tmp_path, [1, 2], ["b a a\nc b", "a c b zz"]
+        )
+        out = textproc.word_topk(sf, k=3).to_pandas()
+        # a=3 b=3 c=2 zz=1; tie a/b broken by word asc
+        assert out["word"].tolist() == ["a", "b", "c"]
+        assert out["n"].tolist() == [3, 3, 2]
+
+    def test_re2_whitespace_pinning(self, ray_session, tmp_path):
+        from raycrawl import textproc
+
+        # \v is NOT whitespace under RE2 \s: "a\vb" must stay one token
+        sf = _write_doc_table(tmp_path, [1], ["a\vb a\tb"])
+        out = textproc.word_topk(sf, k=10).to_pandas()
+        assert set(out["word"]) == {"a\vb", "a", "b"}
+
+
+class TestHashSplit:
+    def test_deterministic_and_matches_md5(self, ray_session, tmp_path):
+        import hashlib
+
+        from raycrawl import textproc
+
+        ids = list(range(200))
+        sf = _write_doc_table(tmp_path, ids, ["x"] * 200)
+        out = textproc.hash_split(sf).to_pandas().sort_values("doc_id")
+        for i, b, s in zip(out["doc_id"], out["bucket"], out["split"]):
+            eb = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 100
+            assert b == eb
+            assert s == ("train" if eb < 90 else "val" if eb < 95 else "test")
+        # roughly 90/5/5: all three splits must be populated at n=200
+        assert set(out["split"]) == {"train", "val", "test"}
+
+
+class TestChunkTokens:
+    def test_boundaries_and_hashes(self, ray_session, tmp_path):
+        import hashlib
+
+        from raycrawl import textproc
+
+        toks = [f"t{i}" for i in range(130)]
+        sf = _write_doc_table(tmp_path, [7, 8], [" ".join(toks), ""])
+        out = (
+            textproc.chunk_tokens(sf)
+            .to_pandas()
+            .sort_values(["doc_id", "chunk_idx"])
+            .reset_index(drop=True)
+        )
+        # 130 tokens / 64 -> chunks of 64, 64, 2; empty doc emits nothing
+        assert out["doc_id"].tolist() == [7, 7, 7]
+        assert out["n_tokens"].tolist() == [64, 64, 2]
+        assert (
+            out["tok_hash"][2]
+            == hashlib.md5(" ".join(toks[128:]).encode()).hexdigest()
+        )
+
+
+class TestPackSequences:
+    def test_cross_doc_packing_and_partition_tail(self, ray_session, tmp_path):
+        import hashlib
+
+        from raycrawl import textproc
+
+        # partition 0: docs 0,1 (40+40=80 toks -> seqs of 64,16)
+        # partition 1: doc 256 (10 toks -> one tail seq)
+        t0 = [f"a{i}" for i in range(40)]
+        t1 = [f"b{i}" for i in range(40)]
+        t2 = [f"c{i}" for i in range(10)]
+        sf = _write_doc_table(
+            tmp_path, [0, 1, 256], [" ".join(t0), " ".join(t1), " ".join(t2)]
+        )
+        out = (
+            textproc.pack_sequences(sf)
+            .to_pandas()
+            .sort_values(["part", "seq_idx"])
+            .reset_index(drop=True)
+        )
+        assert out["part"].tolist() == [0, 0, 1]
+        assert out["n_tokens"].tolist() == [64, 16, 10]
+        # first sequence spans the doc boundary: 40 a-toks then 24 b-toks
+        exp = " ".join(t0 + t1[:24])
+        assert out["tok_hash"][0] == hashlib.md5(exp.encode()).hexdigest()
