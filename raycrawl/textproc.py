@@ -203,16 +203,29 @@ def word_count_partial(t: pa.Table, col: str = "text") -> pa.Table:
 
 def word_topk(sf_dir: str, k: int = 100) -> rd.Dataset:
     """Global word-frequency top-k over the documents table: in-batch
-    partial counts -> slim (word, n) groupby sum -> deterministic
-    (n desc, word asc) sort -> limit k. The sort runs on the
-    distinct-vocabulary table, not the corpus."""
+    partial counts -> slim (word, n) groupby sum -> per-block top-k
+    pruning -> deterministic (n desc, word asc) sort -> limit k. After
+    the groupby each word lives in exactly one block, so the global
+    top-k is contained in the union of per-block top-ks — the final
+    sort sees at most k rows per block, never the whole vocabulary."""
+    import pyarrow.compute as pc
     from ray.data.aggregate import Sum
 
     ds = _docs_ds(sf_dir).map_batches(
         word_count_partial, batch_format="pyarrow", zero_copy_batch=True
     )
     agg = ds.groupby("word").aggregate(Sum("n")).rename_columns({"sum(n)": "n"})
-    return agg.sort(["n", "word"], descending=[True, False]).limit(k)
+
+    def block_topk(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            t, sort_keys=[("n", "descending"), ("word", "ascending")]
+        )[:k]
+        return t.take(idx)
+
+    pruned = agg.map_batches(
+        block_topk, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return pruned.sort(["n", "word"], descending=[True, False]).limit(k)
 
 
 def hash_split_batch(t: pa.Table) -> pa.Table:
