@@ -21,6 +21,10 @@ from raycrawl import multimodal, relational, similarity, textproc
 
 SMOKE_CRAWL_ROUNDS = 2  # pinned config shared by q_crawl_* and their oracle
 
+# Engine defaults interpolated into the chunk/pack oracle SQL (can't drift)
+_SEQ = textproc.CHUNK_SEQ_LEN
+_PART = textproc.PACK_PART_DOCS
+
 # Bump when crawl ENGINE/pyref semantics deliberately change: invalidates
 # the cached smoke crawl output dir (resume=True would otherwise serve a
 # stale completed crawl from a warm /tmp across code versions).
@@ -664,33 +668,35 @@ def build_oracle_sql() -> dict:
             "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) "
             "AS UBIGINT) % 100 AS b FROM documents)"
         ),
+        # _SEQ/_PART interpolate textproc's pinned constants so the SQL
+        # can never drift from the engine defaults
         "chunk_tokens": (
             "WITH t AS (SELECT doc_id, "
             "list_filter(string_split_regex(text, '\\s+'), w -> w <> '') "
             "AS toks FROM documents), "
             "x AS (SELECT doc_id, toks, "
-            "unnest(range(CAST(ceil(len(toks) / 64.0) AS BIGINT))) AS i "
+            f"unnest(range(CAST(ceil(len(toks) / {_SEQ}.0) AS BIGINT))) AS i "
             "FROM t) "
             "SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx, "
-            "CAST(len(list_slice(toks, i * 64 + 1, i * 64 + 64)) AS BIGINT) "
+            f"CAST(len(list_slice(toks, i * {_SEQ} + 1, i * {_SEQ} + {_SEQ})) AS BIGINT) "
             "AS n_tokens, "
-            "md5(array_to_string(list_slice(toks, i * 64 + 1, i * 64 + 64), "
+            f"md5(array_to_string(list_slice(toks, i * {_SEQ} + 1, i * {_SEQ} + {_SEQ}), "
             "' ')) AS tok_hash FROM x"
         ),
         "pack_sequences": (
-            "WITH p AS (SELECT doc_id // 256 AS part, "
+            f"WITH p AS (SELECT doc_id // {_PART} AS part, "
             "string_agg(text, ' ' ORDER BY doc_id) AS alltext "
-            "FROM documents GROUP BY doc_id // 256), "
+            f"FROM documents GROUP BY doc_id // {_PART}), "
             "t AS (SELECT part, "
             "list_filter(string_split_regex(alltext, '\\s+'), w -> w <> '') "
             "AS toks FROM p), "
             "x AS (SELECT part, toks, "
-            "unnest(range(CAST(ceil(len(toks) / 64.0) AS BIGINT))) AS i "
+            f"unnest(range(CAST(ceil(len(toks) / {_SEQ}.0) AS BIGINT))) AS i "
             "FROM t) "
             "SELECT CAST(part AS BIGINT) AS part, CAST(i AS BIGINT) AS seq_idx, "
-            "CAST(len(list_slice(toks, i * 64 + 1, i * 64 + 64)) AS BIGINT) "
+            f"CAST(len(list_slice(toks, i * {_SEQ} + 1, i * {_SEQ} + {_SEQ})) AS BIGINT) "
             "AS n_tokens, "
-            "md5(array_to_string(list_slice(toks, i * 64 + 1, i * 64 + 64), "
+            f"md5(array_to_string(list_slice(toks, i * {_SEQ} + 1, i * {_SEQ} + {_SEQ}), "
             "' ')) AS tok_hash FROM x"
         ),
         "text_quality": (
