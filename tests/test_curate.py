@@ -256,3 +256,12 @@ class TestCurateCorpus:
         row33 = eng[eng["doc_id"] == 33].iloc[0]
         assert row33["n_redactions"] == 2
         assert "<EMAIL>" in row33["text"] and "<PHONE>" in row33["text"]
+
+    def test_all_docs_gated_out_is_empty_not_crash(self, ray_session, tmp_path):
+        # every doc fails gopher -> the whole downstream chain (line-hash
+        # groupby, winner broadcast, contamination scan, finalize) runs on
+        # an all-empty dataset; must degrade to count 0, not crash
+        sf = _write_docs(
+            tmp_path, [1, 2, 3], ["too short", "also short", "# # # tiny"]
+        )
+        assert curate.curate_corpus(sf).count() == 0
