@@ -8,8 +8,9 @@ Ray shape (10^10-page design point):
   weight aggregation run distributed (map_batches -> groupby sum); only
   the aggregated host-level edge table leaves the cluster.
 - Power iteration then runs on the driver over that bounded host table
-  (a few floats per host). If the host set ever outgrew memory, each
-  iteration maps to: broadcast rank vector -> map_batches over edges
+  (a few floats per host). When the EDGE table outgrows the driver,
+  `pagerank_distributed` runs the same recurrence with the edges kept
+  distributed: broadcast rank vector -> map_batches over edges
   (contrib = rank[src] * w / outdeg[src]) -> groupby(dst) sum — the same
   aggregation path already used for the edge build.
 
@@ -129,3 +130,113 @@ def q_host_pagerank(sf_dir: str) -> pa.Table:
     from raycrawl.registry import _smoke_corpus_dir
 
     return host_pagerank(_smoke_corpus_dir(sf_dir))
+
+
+class _ContribBatch:
+    """map_batches stage for one distributed power-iteration step:
+    contrib rows (dst_id, rank[src] * w / outdeg[src]) for non-dangling
+    sources. Rank/outdeg vectors broadcast once per iteration via
+    ray.put; int-id indexing, no string lookups in the hot loop."""
+
+    def __init__(self, rank_ref, outdeg_ref) -> None:
+        import numpy as np
+        import ray
+
+        self.rank = ray.get(rank_ref) if not isinstance(rank_ref, np.ndarray) else rank_ref
+        self.outdeg = ray.get(outdeg_ref) if not isinstance(outdeg_ref, np.ndarray) else outdeg_ref
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        src = t["src_id"].to_numpy()
+        dst = t["dst_id"].to_numpy()
+        w = t["weight"].to_numpy().astype(np.float64)
+        nz = self.outdeg[src] > 0
+        return pa.table(
+            {
+                "dst_id": pa.array(dst[nz], pa.int64()),
+                "contrib": pa.array(
+                    self.rank[src[nz]] * w[nz] / self.outdeg[src[nz]],
+                    pa.float64(),
+                ),
+            }
+        )
+
+
+def pagerank_distributed(
+    edges_ds: rd.Dataset, damping: float = 0.85, n_iter: int = 20
+):
+    """Scale-path power iteration (the fallback the module docstring
+    promises): the (src, dst, weight) edge Dataset NEVER leaves the
+    cluster. Per iteration the only traffic is one broadcast rank vector
+    down (ray.put, a few floats per host) and one groupby(dst_id)-summed
+    contrib table back (#hosts rows). The edge table is int-id-mapped and
+    materialized ONCE so the 20 iterations re-scan object-store blocks,
+    not the parquet source.
+
+    Float accumulation order inside the distributed sum is
+    scheduling-dependent, so ranks match the driver `pagerank` to ~1e-12
+    relative, not bit-for-bit — use `pagerank` (canonical sort + driver
+    iteration) when bit-determinism is required (the oracle path does).
+    Returns the same dict[host, rank] as `pagerank`."""
+    import numpy as np
+    import ray
+    from ray.data.aggregate import Sum
+
+    # Host universe + int ids: hosts << edges by the module's premise, so
+    # the distinct host list is driver-bounded even when edges are not.
+    hosts = sorted(
+        set(edges_ds.unique("src")) | set(edges_ds.unique("dst"))
+    )
+    n = len(hosts)
+    if n == 0:
+        return {}
+    idx = {h: i for i, h in enumerate(hosts)}
+    idx_ref = ray.put(idx)
+
+    class _ToIds:
+        def __init__(self, ref) -> None:
+            self.idx = ray.get(ref) if not isinstance(ref, dict) else ref
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "src_id": pa.array(
+                        [self.idx[s] for s in t["src"].to_pylist()], pa.int64()
+                    ),
+                    "dst_id": pa.array(
+                        [self.idx[d] for d in t["dst"].to_pylist()], pa.int64()
+                    ),
+                    "weight": t["weight"],
+                }
+            )
+
+    ids = edges_ds.map_batches(
+        _ToIds,
+        fn_constructor_args=(idx_ref,),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, int(ray.cluster_resources().get("CPU", 8))),
+    ).materialize()
+
+    outdeg = np.zeros(n)
+    for r in ids.groupby("src_id").aggregate(Sum("weight", alias_name="outdeg")).iter_rows():
+        outdeg[r["src_id"]] = r["outdeg"]
+    outdeg_ref = ray.put(outdeg)
+
+    rank = np.full(n, 1.0 / n)
+    for _ in range(n_iter):
+        rank_ref = ray.put(rank)
+        contrib = np.zeros(n)
+        agg = ids.map_batches(
+            _ContribBatch,
+            fn_constructor_args=(rank_ref, outdeg_ref),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            concurrency=(1, int(ray.cluster_resources().get("CPU", 8))),
+        ).groupby("dst_id").aggregate(Sum("contrib", alias_name="contrib"))
+        for r in agg.iter_rows():
+            contrib[r["dst_id"]] = r["contrib"]
+        dangling = rank[outdeg == 0].sum()
+        rank = (1 - damping) / n + damping * (contrib + dangling / n)
+    return {h: float(rank[idx[h]]) for h in hosts}

@@ -65,3 +65,44 @@ def test_host_pagerank_corpus(ray_session, smoke_corpus):
     # the fully-robots-blocked host still RECEIVES links (rank is a link
     # signal, not a politeness one) — it must be present
     assert "h010.example" in ranks
+
+
+def test_pagerank_distributed_matches_driver(ray_session):
+    import ray.data as rd
+
+    edges = pd.DataFrame(
+        {
+            "src": ["a", "a", "b", "c", "c", "d", "e"],
+            "dst": ["b", "c", "c", "a", "d", "d", "a"],
+            "weight": [3, 1, 2, 1, 1, 5, 2],
+        }
+    )
+    want = graphrank.pagerank(edges)
+    got = graphrank.pagerank_distributed(rd.from_pandas(edges))
+    assert set(got) == set(want)
+    for h in got:
+        # distributed float-sum order is scheduling-dependent: tolerance,
+        # not bit-identity (that's the driver path's contract)
+        assert got[h] == pytest.approx(want[h], rel=1e-9)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_pagerank_distributed_corpus(ray_session, smoke_corpus):
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    from raycrawl.graphrank import _edge_batch
+
+    import os
+    edges_ds = (
+        rd.read_parquet(os.path.join(smoke_corpus, "pages.parquet"),
+                        columns=["url", "html"])
+        .map_batches(_edge_batch, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["src", "dst"])
+        .aggregate(Count(alias_name="weight"))
+    )
+    got = graphrank.pagerank_distributed(edges_ds)
+    want = graphrank.pagerank(graphrank.host_edges(smoke_corpus))
+    assert set(got) == set(want)
+    for h in got:
+        assert got[h] == pytest.approx(want[h], rel=1e-9)
