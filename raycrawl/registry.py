@@ -340,6 +340,7 @@ def build_queries() -> dict:
         "hash_split": textproc.hash_split,
         "chunk_tokens": textproc.chunk_tokens,
         "pack_sequences": textproc.pack_sequences,
+        "tfidf_topk": textproc.tfidf_topk,
         "lang_id": _oracled("lang_id", textproc.language_id),
         "doc_fingerprint": _oracled("doc_fingerprint", textproc.fingerprints),
         "quality_score": _oracled("quality_score", q_quality_score),
@@ -698,6 +699,23 @@ def build_oracle_sql() -> dict:
             "AS n_tokens, "
             f"md5(array_to_string(list_slice(toks, i * {_SEQ} + 1, i * {_SEQ} + {_SEQ}), "
             "' ')) AS tok_hash FROM x"
+        ),
+        # integer-exact ranking (tf * SCALE // df, ties by term) — no
+        # cross-engine float ordering hazards
+        "tfidf_topk": (
+            "WITH toks AS (SELECT doc_id, "
+            "unnest(list_filter(string_split_regex(text, '\\s+'), "
+            "x -> x <> '')) AS word FROM documents), "
+            "df AS (SELECT word, CAST(COUNT(DISTINCT doc_id) AS BIGINT) "
+            "AS df FROM toks GROUP BY word), "
+            "tf AS (SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf "
+            "FROM toks GROUP BY doc_id, word), "
+            f"s AS (SELECT tf.doc_id, tf.word, tf.tf, df.df, "
+            f"tf.tf * {textproc.TFIDF_SCALE} // df.df AS score "
+            "FROM tf JOIN df USING (word)) "
+            "SELECT doc_id, word AS term, tf, df, CAST(rn AS BIGINT) AS rank "
+            "FROM (SELECT *, row_number() OVER (PARTITION BY doc_id "
+            "ORDER BY score DESC, word) AS rn FROM s) WHERE rn <= 5"
         ),
         "text_quality": (
             "SELECT doc_id, length(text) AS n_chars2, "

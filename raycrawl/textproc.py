@@ -333,3 +333,108 @@ def pack_sequences(sf_dir: str, seq_len: int = CHUNK_SEQ_LEN) -> rd.Dataset:
         zero_copy_batch=True,
     )
     return ds.groupby("part").map_groups(pack, batch_format="pandas")
+
+
+TFIDF_SCALE = 1_000_000  # integer-exact score = tf * SCALE // df
+
+
+class _TfidfScore:
+    """map_batches stage: per-doc top-k TF-IDF terms against the broadcast
+    (word, df) vocabulary (sorted-array searchsorted probe, built once per
+    actor). Scoring is INTEGER arithmetic (tf * TFIDF_SCALE // df) so the
+    ranking is bit-exact on both the engine and the DuckDB oracle — no
+    cross-engine float log/compare hazards."""
+
+    def __init__(self, vocab_ref, k: int) -> None:
+        import ray
+
+        words, dfs = (
+            ray.get(vocab_ref) if isinstance(vocab_ref, ray.ObjectRef) else vocab_ref
+        )
+        self.words = words  # sorted numpy object array
+        self.dfs = dfs
+        self.k = k
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import numpy as np
+        from collections import Counter
+
+        out_id, out_term, out_tf, out_df, out_rank = [], [], [], [], []
+        for doc_id, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            tf = Counter(_split_re2_ws(x))
+            if not tf:
+                continue
+            terms = np.array(list(tf.keys()), dtype=object)
+            idx = np.searchsorted(self.words, terms)
+            scored = []
+            for w, i in zip(terms, idx):
+                df = int(self.dfs[i])  # every doc term is in the vocabulary
+                scored.append((-(tf[w] * TFIDF_SCALE // df), w, df))
+            scored.sort()
+            for rank, (_neg, w, df) in enumerate(scored[: self.k], start=1):
+                out_id.append(doc_id)
+                out_term.append(w)
+                out_tf.append(tf[w])
+                out_df.append(df)
+                out_rank.append(rank)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "term": pa.array(out_term, pa.string()),
+                "tf": pa.array(out_tf, pa.int64()),
+                "df": pa.array(out_df, pa.int64()),
+                "rank": pa.array(out_rank, pa.int64()),
+            }
+        )
+
+
+def tfidf_topk(sf_dir: str, k: int = 5) -> rd.Dataset:
+    """Per-document top-k TF-IDF terms, two distributed passes:
+
+    1. document frequency — per-batch DISTINCT-word doc counts (combiner)
+       -> slim (word, df) groupby sum; the aggregated vocabulary table is
+       pulled to the driver and broadcast once (vocabulary-bounded, the
+       same contract as the line-dedup winner table; prune with a min_df
+       threshold if the vocabulary ever outgrows the driver),
+    2. scoring — one streaming map_batches pass; per-doc TF is local.
+
+    Ranking uses integer score tf * TFIDF_SCALE // df (ties -> term asc),
+    exactly reproducible in SQL."""
+    import numpy as np
+    import ray
+    from collections import Counter
+    from ray.data.aggregate import Sum
+
+    docs = _docs_ds(sf_dir)
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        c: Counter[str] = Counter()
+        for x in t["text"].to_pylist():
+            c.update(set(_split_re2_ws(x)))
+        return pa.table(
+            {
+                "word": pa.array(list(c.keys()), pa.string()),
+                "nd": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    vocab = (
+        docs.map_batches(df_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("word")
+        .aggregate(Sum("nd", alias_name="df"))
+        .to_pandas()
+        .sort_values("word", ignore_index=True)
+    )
+    vocab_ref = ray.put(
+        (
+            vocab["word"].to_numpy(dtype=object),
+            vocab["df"].to_numpy(dtype=np.int64),
+        )
+    )
+    return docs.map_batches(
+        _TfidfScore,
+        fn_constructor_args=(vocab_ref, k),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, int(ray.cluster_resources().get("CPU", 8))),
+    )

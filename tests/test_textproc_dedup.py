@@ -369,3 +369,36 @@ class TestPackSequences:
         # first sequence spans the doc boundary: 40 a-toks then 24 b-toks
         exp = " ".join(t0 + t1[:24])
         assert out["tok_hash"][0] == hashlib.md5(exp.encode()).hexdigest()
+
+
+class TestTfidfTopk:
+    def test_rare_term_outranks_common(self, ray_session, tmp_path):
+        from raycrawl import textproc
+
+        # "common" appears in all docs (df=3); "rare" only in doc 1 (df=1).
+        # With equal tf, the rare term must rank first.
+        sf = _write_doc_table(
+            tmp_path,
+            [1, 2, 3],
+            ["common rare common rare", "common filler", "common other"],
+        )
+        out = (
+            textproc.tfidf_topk(sf, k=2)
+            .to_pandas()
+            .sort_values(["doc_id", "rank"])
+            .reset_index(drop=True)
+        )
+        d1 = out[out["doc_id"] == 1]
+        assert d1["term"].tolist() == ["rare", "common"]
+        assert d1["tf"].tolist() == [2, 2]
+        assert d1["df"].tolist() == [1, 3]
+        assert d1["rank"].tolist() == [1, 2]
+
+    def test_score_is_integer_exact(self, ray_session, tmp_path):
+        from raycrawl import textproc
+
+        # tie on score must break by term asc: x and y both tf=1 df=1
+        sf = _write_doc_table(tmp_path, [1, 2], ["y x", "z"])
+        out = textproc.tfidf_topk(sf, k=3).to_pandas()
+        d1 = out[out["doc_id"] == 1].sort_values("rank")
+        assert d1["term"].tolist() == ["x", "y"]
