@@ -7,11 +7,14 @@ line/n-gram-level hygiene passes a real pretraining pipeline runs (the
 public C4 / Gopher / RefinedWeb recipes describe the semantics; all code
 here is original). Scale shapes:
 
-- `dedup_lines`: the only shuffle is a slim int64 (line_hash, occ_key)
-  groupby; the duplicated-line winner table (bounded by *duplicate-line
-  density*, not corpus size) broadcasts via `ray.put`, and the rewrite is
-  a single streaming `map_batches` pass over the documents — no second
-  shuffle and no per-doc reassembly groupby.
+- `dedup_lines`: the only unconditional shuffle is a slim int64
+  (line_hash, occ_key) groupby. The duplicated-line winner table is size-
+  dispatched (`LINE_DEDUP_DRIVER_MAX`): at web-typical dup density it
+  broadcasts via `ray.put` and the rewrite is a single streaming
+  `map_batches` pass; past the threshold the winners STAY a Dataset and
+  the rewrite runs through the distributed join path
+  (`_dedup_lines_join_path`) — no driver-side materialization that grows
+  with corpus size. Both paths are equivalence-tested.
 - `gopher_quality`: stateless per-batch kernel, integer outputs only so
   the oracle comparison is exact.
 - `decontaminate`: the benchmark n-gram set is built from a bounded
@@ -87,13 +90,18 @@ class _LineDedupRewrite:
     """map_batches stage: re-split each doc, drop every duplicated-line
     occurrence that is not its global winner, reassemble in place. The
     winner map (duplicated distinct lines only) ships via ray.put once and
-    is built into a dict per actor, not per batch."""
+    is built into a dict per actor, not per batch. An optional `gate`
+    filter is fused in front (see `dedup_lines_ds` on why fusing beats an
+    upstream filter stage)."""
 
-    def __init__(self, winners_ref) -> None:
+    def __init__(self, winners_ref, gate=None) -> None:
         w = ray.get(winners_ref) if isinstance(winners_ref, ray.ObjectRef) else winners_ref
         self.winner_of = {int(h): int(o) for h, o in zip(w[0], w[1])}
+        self.gate = gate
 
     def __call__(self, t: pa.Table) -> pa.Table:
+        if self.gate is not None:
+            t = self.gate(t)
         out_text, n_kept, n_dropped = [], [], []
         for doc_id, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
             kept, dropped = [], 0
@@ -117,6 +125,14 @@ class _LineDedupRewrite:
         )
 
 
+# Hybrid size dispatch (same pattern as crawl.py's expansion dispatch):
+# winner tables at or below this many rows broadcast via ray.put (a ~16 B/row
+# payload plus a per-actor dict — measured-fast); above it the winners stay
+# a Dataset and the rewrite goes through the distributed join path, so NO
+# driver-side materialization grows with corpus size.
+LINE_DEDUP_DRIVER_MAX = 1_000_000
+
+
 def dedup_lines(sf_dir: str) -> rd.Dataset:
     """C4-style exact line dedup across the whole corpus: every line that
     occurs more than once (in any document, including within one document)
@@ -125,35 +141,188 @@ def dedup_lines(sf_dir: str) -> rd.Dataset:
     return dedup_lines_ds(_read_docs(sf_dir))
 
 
-def dedup_lines_ds(docs: rd.Dataset) -> rd.Dataset:
+def dedup_lines_ds(
+    docs: rd.Dataset,
+    driver_max_winners: int | None = None,
+    gate=None,
+) -> rd.Dataset:
     """Dataset-level line dedup (shared by `dedup_lines` and the composite
-    `curate_corpus`, whose input is already gopher-filtered)."""
+    `curate_corpus`). Both rewrite paths are oracle-equivalence-tested
+    (test_curate.py).
+
+    `gate` (optional `pa.Table -> pa.Table` filter, e.g. `gopher_gate`) is
+    FUSED into every stage that consumes `docs` instead of being applied
+    as an upstream map stage. This is load-bearing, not a convenience: Ray
+    skips map UDFs on 0-row blocks and passes them through as ZERO-COLUMN
+    blocks, which acero hash joins reject ("no match for key field") —
+    so an upstream filter that empties a block would poison the join
+    path's occurrence stream. With the gate fused, every schema-changing
+    UDF here only ever sees the (never-empty) source read blocks.
+    Callers passing a pre-filtered `docs` without `gate` are fine on the
+    broadcast path (groupby tolerates the leaked blocks) but must not
+    force the join path with empty-block-bearing inputs."""
+    if driver_max_winners is None:  # resolved at call time (tests patch it)
+        driver_max_winners = LINE_DEDUP_DRIVER_MAX
+    explode = (
+        line_explode_slim
+        if gate is None
+        else (lambda t: line_explode_slim(gate(t)))
+    )
     occ = docs.map_batches(
-        line_explode_slim, batch_format="pyarrow", zero_copy_batch=True
+        explode, batch_format="pyarrow", zero_copy_batch=True
     )
     agg = occ.groupby("line_hash").aggregate(Count(), Min("occ_key"))
+    # Winner table = duplicated distinct lines only. Materialize it (it is
+    # the slim post-aggregation side) so the size probe and the chosen
+    # rewrite path share one execution of the explode+groupby.
     dup = agg.map_batches(
         lambda t: t.filter(pc.greater(t["count()"], 1)),
         batch_format="pyarrow", zero_copy_batch=True,
-    )
-    # Winner table is bounded by DUPLICATED-distinct-line count (dup
-    # density), not corpus size — same driver-boundedness contract as the
-    # minhash candidate-pair set (dedup.py). At pathological dup density a
-    # Dataset.join of occ against winners is the fallback; broadcast is
-    # the measured-fast default.
-    rows = dup.take_all()
-    winners_ref = ray.put(
-        (
-            np.array([r["line_hash"] for r in rows], dtype=np.int64),
-            np.array([r["min(occ_key)"] for r in rows], dtype=np.int64),
+    ).materialize()
+    if dup.count() <= driver_max_winners:
+        # Broadcast path: winner map ships once via ray.put, rewrite is a
+        # single streaming pass re-probing each line's pinned hash.
+        rows = dup.take_all()
+        winners_ref = ray.put(
+            (
+                np.array([r["line_hash"] for r in rows], dtype=np.int64),
+                np.array([r["min(occ_key)"] for r in rows], dtype=np.int64),
+            )
         )
+        return docs.map_batches(
+            _LineDedupRewrite,
+            fn_constructor_args=(winners_ref, gate),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            concurrency=(1, int(ray.cluster_resources().get("CPU", 8))),
+        )
+    return _dedup_lines_join_path(docs, dup, gate)
+
+
+def _nonempty_blocks(mat_ds: rd.Dataset, schema: pa.Schema) -> rd.Dataset:
+    """Rebuild a MATERIALIZED dataset from its non-empty blocks. Ray's
+    aggregate emits empty key-only blocks (map UDFs are skipped on empty
+    blocks, so a downstream filter never normalizes them) and map_groups
+    can emit zero-column ones; pyarrow-backed hash joins reject both.
+    The probe is metadata-only — no block lands on the driver."""
+    refs = [
+        r
+        for b in mat_ds.iter_internal_ref_bundles()
+        for r, m in zip(b.block_refs, b.metadata)
+        if (m.num_rows or 0) > 0
+    ]
+    if not refs:
+        return rd.from_arrow(schema.empty_table())
+    return rd.from_arrow_refs(refs)
+
+
+_DUP_SCHEMA = pa.schema(
+    [("line_hash", pa.int64()), ("count()", pa.int64()), ("min(occ_key)", pa.int64())]
+)
+# drop_idxs is a PACKED int64-little-endian binary blob, not list<int64>:
+# acero hash joins reject list-typed non-key fields
+_DROPLIST_SCHEMA = pa.schema(
+    [("doc_id", pa.int64()), ("drop_idxs", pa.binary())]
+)
+
+
+def _drop_rows(t: pa.Table) -> pa.Table:
+    """(occ join winners) -> the losing occurrences as (doc_id, line_idx)."""
+    t = t.filter(pc.not_equal(t["occ_key"], t["min(occ_key)"]))
+    occv = t["occ_key"]
+    return pa.table(
+        {
+            "doc_id": pc.shift_right(occv, _OCC_SHIFT),
+            "line_idx": pc.bit_wise_and(occv, (1 << _OCC_SHIFT) - 1),
+        }
     )
-    return docs.map_batches(
-        _LineDedupRewrite,
-        fn_constructor_args=(winners_ref,),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        concurrency=(1, int(ray.cluster_resources().get("CPU", 8))),
+
+
+def _collect_drop_list(t: pa.Table) -> pa.Table:
+    """map_groups: one (doc_id, packed drop-index blob) row per document."""
+    if t.num_rows == 0:  # typed empty block, not a zero-column one
+        return _DROPLIST_SCHEMA.empty_table()
+    idxs = np.sort(t["line_idx"].to_numpy(zero_copy_only=False))
+    return pa.table(
+        {
+            "doc_id": pa.array([t["doc_id"][0].as_py()], pa.int64()),
+            "drop_idxs": pa.array([idxs.astype("<i8").tobytes()], pa.binary()),
+        }
+    )
+
+
+def _rewrite_with_drop_lists(t: pa.Table) -> pa.Table:
+    """Rewrite docs using the joined per-doc drop-index lists (null = keep
+    all lines). Line indices refer to the original split, so no second
+    hashing pass is needed on this path."""
+    out_text, n_kept, n_dropped = [], [], []
+    for text, blob in zip(t["text"].to_pylist(), t["drop_idxs"].to_pylist()):
+        lines = (text or "").split("\n")
+        if blob:
+            dset = set(np.frombuffer(blob, dtype="<i8").tolist())
+            kept = [x for i, x in enumerate(lines) if i not in dset]
+        else:
+            kept = lines
+        out_text.append("\n".join(kept))
+        n_kept.append(len(kept))
+        n_dropped.append(len(dset) if blob else 0)
+    return pa.table(
+        {
+            "doc_id": t["doc_id"],
+            "text": pa.array(out_text, pa.string()),
+            "n_kept": pa.array(n_kept, pa.int64()),
+            "n_dropped": pa.array(n_dropped, pa.int64()),
+        }
+    )
+
+
+def _dedup_lines_join_path(
+    docs: rd.Dataset, dup: rd.Dataset, gate=None
+) -> rd.Dataset:
+    """Distributed rewrite for winner tables too large to broadcast: the
+    occurrence stream joins the winner Dataset on line_hash (slim int64
+    shuffle), losing occurrences collapse to per-doc drop-index lists, and
+    a left-outer join hands each document its own list. Re-deriving the
+    occurrences costs one extra explode pass over the corpus — the price
+    of never materializing the full occurrence table.
+
+    Scale shape: 3 exchanges total (occ⋈winners hash join, drop-set
+    groupby keyed by doc_id, docs⋈drop-lists join keyed by doc_id); every
+    shuffled payload except the final docs join is int64-slim."""
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    # join actor pools scaled like crawl.py's fetch join: too-wide joins
+    # reserve every CPU on small clusters and starve the upstream maps
+    n_parts = max(2, ncpu // 2)
+    explode = (
+        line_explode_slim
+        if gate is None
+        else (lambda t: line_explode_slim(gate(t)))
+    )
+    occ = docs.map_batches(
+        explode, batch_format="pyarrow", zero_copy_batch=True
+    )
+    dup = _nonempty_blocks(dup, _DUP_SCHEMA)
+    hits = occ.join(dup, "inner", num_partitions=n_parts, on=("line_hash",))
+    drops = hits.map_batches(
+        _drop_rows, batch_format="pyarrow", zero_copy_batch=True
+    )
+    per_doc = drops.groupby("doc_id").map_groups(
+        _collect_drop_list, batch_format="pyarrow"
+    )
+    per_doc = _nonempty_blocks(per_doc.materialize(), _DROPLIST_SCHEMA)
+    if gate is not None:
+        # Gate the docs side BEFORE shipping it through the join shuffle
+        # (don't pay the exchange for rows the gate would drop). The gate
+        # UDF runs on the never-empty source blocks, so its 0-row outputs
+        # are TYPED empties — those the hash join handles fine.
+        docs = docs.map_batches(
+            gate, batch_format="pyarrow", zero_copy_batch=True
+        )
+    joined = docs.join(
+        per_doc, "left_outer", num_partitions=n_parts, on=("doc_id",)
+    )
+    return joined.map_batches(
+        _rewrite_with_drop_lists, batch_format="pyarrow", zero_copy_batch=True
     )
 
 
@@ -386,10 +555,12 @@ def curate_corpus(sf_dir: str) -> rd.Dataset:
     set and the duplicated-line winner table are each broadcast once.
     Output: doc_id, text (curated), n_dropped_lines, n_redactions."""
     grams_ref = _bench_grams_ref(sf_dir)
-    survivors = _read_docs(sf_dir).map_batches(
-        gopher_gate, batch_format="pyarrow", zero_copy_batch=True
-    )
-    deduped = dedup_lines_ds(survivors)
+    # The gopher gate is passed INTO dedup_lines_ds (fused per-stage), not
+    # applied as an upstream filter stage: an upstream filter's 0-row
+    # output blocks would skip the explode UDF and leak zero-column blocks
+    # into the join path (see dedup_lines_ds docstring). Cost is identical
+    # — a lazy upstream stage re-executes once per consumer anyway.
+    deduped = dedup_lines_ds(_read_docs(sf_dir), gate=gopher_gate)
     clean = deduped.map_batches(
         _ContamScan,
         fn_constructor_args=(grams_ref, True),

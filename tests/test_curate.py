@@ -71,6 +71,58 @@ class TestLineDedup:
         ora = pyoracle.dedup_lines(sf).to_pandas()
         assert eng.equals(ora)
 
+    def test_join_path_equals_broadcast_path(self, ray_session, tmp_path):
+        """driver_max_winners=0 forces the distributed join rewrite; it
+        must produce byte-identical output to the broadcast default (and
+        therefore to pyoracle)."""
+        import ray.data as rd
+
+        from raycrawl import pyoracle
+
+        ids = list(range(8))
+        texts = [
+            "alpha one\nshared line here\nbeta",
+            "shared line here\ngamma two",
+            "delta\nshared line here",
+            "same line\n\nsame line\n   \nsame line\nother",
+            "unique only\nnothing repeats",
+            "",           # empty doc
+            "shared line here",   # whole doc is a losing occurrence
+            "tail\nalpha one",    # cross-doc dup of doc 0's first line
+        ]
+        sf = _write_docs(tmp_path, ids, texts)
+
+        def run(threshold):
+            docs = rd.read_parquet(sf + "/documents.parquet")
+            return (
+                curate.dedup_lines_ds(docs, driver_max_winners=threshold)
+                .to_pandas()
+                .sort_values("doc_id")
+                .reset_index(drop=True)
+            )
+
+        broadcast = run(curate.LINE_DEDUP_DRIVER_MAX)
+        joined = run(0)
+        assert joined.equals(broadcast), (joined, broadcast)
+        ora = pyoracle.dedup_lines(sf).to_pandas()
+        assert broadcast.equals(ora)
+
+    def test_curate_corpus_join_path_equivalent(self, ray_session, tmp_path, monkeypatch):
+        """The composite pipeline must survive the join rewrite too (its
+        line-dedup input is the gopher-filtered subset)."""
+        from raycrawl import pyoracle
+
+        sf = TestCurateCorpus()._corpus(tmp_path)
+        monkeypatch.setattr(curate, "LINE_DEDUP_DRIVER_MAX", 0)
+        eng = (
+            curate.curate_corpus(sf)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        ora = pyoracle.curate_corpus(sf).to_pandas()
+        assert eng.equals(ora)
+
 
 class TestGopher:
     def _one(self, text):
