@@ -42,6 +42,7 @@ import ray.data as rd
 from ray.data.aggregate import Count, Min
 
 from raycrawl import core
+from raycrawl.ioutil import nonempty_blocks as _nonempty_blocks
 
 _LOG = logging.getLogger(__name__)
 
@@ -199,21 +200,6 @@ def dedup_lines_ds(
     return _dedup_lines_join_path(docs, dup, gate)
 
 
-def _nonempty_blocks(mat_ds: rd.Dataset, schema: pa.Schema) -> rd.Dataset:
-    """Rebuild a MATERIALIZED dataset from its non-empty blocks. Ray's
-    aggregate emits empty key-only blocks (map UDFs are skipped on empty
-    blocks, so a downstream filter never normalizes them) and map_groups
-    can emit zero-column ones; pyarrow-backed hash joins reject both.
-    The probe is metadata-only — no block lands on the driver."""
-    refs = [
-        r
-        for b in mat_ds.iter_internal_ref_bundles()
-        for r, m in zip(b.block_refs, b.metadata)
-        if (m.num_rows or 0) > 0
-    ]
-    if not refs:
-        return rd.from_arrow(schema.empty_table())
-    return rd.from_arrow_refs(refs)
 
 
 _DUP_SCHEMA = pa.schema(

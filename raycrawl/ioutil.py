@@ -53,3 +53,25 @@ def read_lowest(path: str, key: str, n: int, columns: list[str]) -> pa.Table:
     merged = pa.concat_tables(tabs, promote_options="default")
     order = pa.compute.sort_indices(merged[key])
     return merged.take(order.slice(0, min(n, merged.num_rows)))
+
+
+def nonempty_blocks(mat_ds, schema: pa.Schema):
+    """Rebuild a MATERIALIZED Ray dataset from its non-empty blocks only.
+
+    Ray's aggregate can emit empty key-only blocks, map_groups can emit
+    zero-column ones, and any 0-row block SKIPS downstream map UDFs and
+    comes out zero-column — all of which poison acero hash joins. The
+    probe here is metadata-only; no block lands on the driver. `schema`
+    supplies a typed empty result when every block is empty."""
+    import ray
+    import ray.data as rd
+
+    refs = [
+        r
+        for b in mat_ds.iter_internal_ref_bundles()
+        for r, m in zip(b.block_refs, b.metadata)
+        if (m.num_rows or 0) > 0
+    ]
+    if not refs:
+        return rd.from_arrow(schema.empty_table())
+    return rd.from_arrow_refs(refs)

@@ -351,7 +351,7 @@ class _TfidfScore:
         words, dfs = (
             ray.get(vocab_ref) if isinstance(vocab_ref, ray.ObjectRef) else vocab_ref
         )
-        self.words = words  # sorted numpy object array
+        self.words = words  # sorted numpy object array, df >= 2 terms only
         self.dfs = dfs
         self.k = k
 
@@ -359,6 +359,7 @@ class _TfidfScore:
         import numpy as np
         from collections import Counter
 
+        nw = len(self.words)
         out_id, out_term, out_tf, out_df, out_rank = [], [], [], [], []
         for doc_id, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
             tf = Counter(_split_re2_ws(x))
@@ -368,7 +369,10 @@ class _TfidfScore:
             idx = np.searchsorted(self.words, terms)
             scored = []
             for w, i in zip(terms, idx):
-                df = int(self.dfs[i])  # every doc term is in the vocabulary
+                # Hapax rule (exact, not approximate): the broadcast
+                # vocabulary carries df >= 2 terms only, so a term absent
+                # from it occurs in precisely one document — this one.
+                df = int(self.dfs[i]) if i < nw and self.words[i] == w else 1
                 scored.append((-(tf[w] * TFIDF_SCALE // df), w, df))
             scored.sort()
             for rank, (_neg, w, df) in enumerate(scored[: self.k], start=1):
@@ -388,22 +392,45 @@ class _TfidfScore:
         )
 
 
-def tfidf_topk(sf_dir: str, k: int = 5) -> rd.Dataset:
+# Hybrid size dispatch (same pattern as curate.LINE_DEDUP_DRIVER_MAX): a
+# df>=2 vocabulary at or below this many terms broadcasts via ray.put;
+# above it the vocabulary stays a Dataset and scoring runs through the
+# distributed join path. Web-scale vocabularies are hapax-heavy, so the
+# exact df==1 prune below typically halves the table before this check.
+TFIDF_DRIVER_MAX = 2_000_000
+
+_VOCAB_SCHEMA = pa.schema([("word", pa.string()), ("df", pa.int64())])
+
+
+def tfidf_topk(
+    sf_dir: str, k: int = 5, driver_max_vocab: int | None = None
+) -> rd.Dataset:
     """Per-document top-k TF-IDF terms, two distributed passes:
 
     1. document frequency — per-batch DISTINCT-word doc counts (combiner)
-       -> slim (word, df) groupby sum; the aggregated vocabulary table is
-       pulled to the driver and broadcast once (vocabulary-bounded, the
-       same contract as the line-dedup winner table; prune with a min_df
-       threshold if the vocabulary ever outgrows the driver),
-    2. scoring — one streaming map_batches pass; per-doc TF is local.
+       -> slim (word, df) groupby sum, then an EXACT df==1 prune: a term
+       absent from the pruned vocabulary occurs in exactly one document —
+       the one being scored — so its df is known to be 1 without shipping
+       it. The surviving df>=2 table is size-dispatched: broadcast via
+       ray.put at or below TFIDF_DRIVER_MAX terms, else it stays a
+       Dataset and scoring runs through `_tfidf_join_path` (no driver
+       materialization that grows with vocabulary size).
+    2. scoring — broadcast path: one streaming map_batches pass (per-doc
+       TF is local); join path: slim (doc_id, word, tf) explode ⋈ vocab
+       on word, then a per-doc top-k groupby.
 
     Ranking uses integer score tf * TFIDF_SCALE // df (ties -> term asc),
-    exactly reproducible in SQL."""
+    exactly reproducible in SQL. Both paths are equivalence-tested."""
     import numpy as np
     import ray
+    import pyarrow.compute as pc
     from collections import Counter
     from ray.data.aggregate import Sum
+
+    from raycrawl.ioutil import nonempty_blocks
+
+    if driver_max_vocab is None:  # resolved at call time (tests patch it)
+        driver_max_vocab = TFIDF_DRIVER_MAX
 
     docs = _docs_ds(sf_dir)
 
@@ -418,10 +445,31 @@ def tfidf_topk(sf_dir: str, k: int = 5) -> rd.Dataset:
             }
         )
 
-    vocab = (
+    # Materialize the slim post-aggregation vocabulary so the size probe
+    # and the chosen scoring path share one execution; prune 0-row blocks
+    # (the df>1 filter is skipped on empty agg blocks and would leak
+    # zero-column blocks into the join otherwise).
+    vocab_ds = nonempty_blocks(
         docs.map_batches(df_partial, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("word")
         .aggregate(Sum("nd", alias_name="df"))
+        .map_batches(
+            lambda t: t.filter(pc.greater(t["df"], 1)),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .materialize(),
+        _VOCAB_SCHEMA,
+    )
+    if vocab_ds.count() > driver_max_vocab:
+        return _tfidf_join_path(docs, vocab_ds, k)
+    # Dataset.to_pandas drops columns on an ALL-EMPTY dataset (all-hapax
+    # corpus) — go through the typed Arrow schema instead.
+    vocab = (
+        pa.concat_tables(
+            [_VOCAB_SCHEMA.empty_table()]
+            + [b for b in vocab_ds.iter_batches(batch_format="pyarrow")]
+        )
         .to_pandas()
         .sort_values("word", ignore_index=True)
     )
@@ -437,4 +485,91 @@ def tfidf_topk(sf_dir: str, k: int = 5) -> rd.Dataset:
         batch_format="pyarrow",
         zero_copy_batch=True,
         concurrency=(1, int(ray.cluster_resources().get("CPU", 8))),
+    )
+
+
+def _tfidf_explode(t: pa.Table) -> pa.Table:
+    """(doc_id, word, tf) per distinct per-doc term — the slim join-path
+    payload; text never enters the word-keyed exchange."""
+    from collections import Counter
+
+    ids, words, tfs = [], [], []
+    for doc_id, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        for w, n in Counter(_split_re2_ws(x)).items():
+            ids.append(doc_id)
+            words.append(w)
+            tfs.append(n)
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "word": pa.array(words, pa.string()),
+            "tf": pa.array(tfs, pa.int64()),
+        }
+    )
+
+
+def _tfidf_score_batch(t: pa.Table) -> pa.Table:
+    """Integer score per (doc, term) row after the df join; null df means
+    the term missed the df>=2 vocabulary — the exact hapax rule, df=1."""
+    import pyarrow.compute as pc
+
+    df = pc.fill_null(t["df"], 1)
+    score = pc.divide(pc.multiply(t["tf"], TFIDF_SCALE), df)
+    return pa.table(
+        {
+            "doc_id": t["doc_id"],
+            "term": t["word"],
+            "tf": t["tf"],
+            "df": df,
+            "score": score,
+        }
+    )
+
+
+def _tfidf_doc_topk_factory(k: int):
+    def doc_topk(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        if t.num_rows == 0:
+            return pa.schema(
+                [
+                    ("doc_id", pa.int64()),
+                    ("term", pa.string()),
+                    ("tf", pa.int64()),
+                    ("df", pa.int64()),
+                    ("rank", pa.int64()),
+                ]
+            ).empty_table()
+        neg = np.negative(t["score"].to_numpy(zero_copy_only=False))
+        terms = t["term"].to_pylist()
+        # score desc, term asc — a group is one doc's distinct terms, so
+        # a plain sort is tiny; matches _TfidfScore's tuple sort exactly
+        order = sorted(range(len(terms)), key=lambda i: (neg[i], terms[i]))[:k]
+        out = t.select(["doc_id", "term", "tf", "df"]).take(order)
+        return out.append_column(
+            "rank", pa.array(range(1, len(order) + 1), pa.int64())
+        )
+
+    return doc_topk
+
+
+def _tfidf_join_path(docs: rd.Dataset, vocab: rd.Dataset, k: int) -> rd.Dataset:
+    """Distributed TF-IDF for vocabularies too large to broadcast: the
+    canonical two-exchange shape — a word-keyed left-outer join hands
+    each (doc, term, tf) row its df (null -> hapax, df=1), then a
+    doc-keyed groupby takes the per-document top-k. Every shuffled
+    payload is (int64, word, int64)-slim; document text never moves."""
+    import ray
+
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    n_parts = max(2, ncpu // 2)
+    terms = docs.map_batches(
+        _tfidf_explode, batch_format="pyarrow", zero_copy_batch=True
+    )
+    joined = terms.join(vocab, "left_outer", num_partitions=n_parts, on=("word",))
+    scored = joined.map_batches(
+        _tfidf_score_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return scored.groupby("doc_id").map_groups(
+        _tfidf_doc_topk_factory(k), batch_format="pyarrow"
     )

@@ -402,3 +402,38 @@ class TestTfidfTopk:
         out = textproc.tfidf_topk(sf, k=3).to_pandas()
         d1 = out[out["doc_id"] == 1].sort_values("rank")
         assert d1["term"].tolist() == ["x", "y"]
+
+
+class TestTfidfJoinPath:
+    def test_join_path_equals_broadcast_path(self, ray_session, tmp_path):
+        """driver_max_vocab=0 forces the distributed join scoring; output
+        must be identical to the broadcast default, including the exact
+        hapax (df=1) rule and score/term tie-breaks."""
+        from raycrawl import textproc
+
+        sf = _write_doc_table(
+            tmp_path,
+            [1, 2, 3, 4, 5],
+            [
+                "common rare common rare extra",   # hapax rare/extra
+                "common filler tied1 tied2",       # tie -> term asc
+                "common other filler",
+                "",                                # empty doc: no rows
+                "solo",                            # whole doc hapax
+            ],
+        )
+
+        def run(threshold):
+            return (
+                textproc.tfidf_topk(sf, k=3, driver_max_vocab=threshold)
+                .to_pandas()
+                .sort_values(["doc_id", "rank"])
+                .reset_index(drop=True)
+            )
+
+        broadcast = run(textproc.TFIDF_DRIVER_MAX)
+        joined = run(0)
+        assert joined.equals(broadcast), (joined, broadcast)
+        # sanity on the fixture itself: hapax terms really scored df=1
+        assert (broadcast[broadcast["term"] == "rare"]["df"] == 1).all()
+        assert 4 not in set(broadcast["doc_id"])
