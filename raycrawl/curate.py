@@ -58,70 +58,138 @@ def _read_docs(sf_dir: str) -> rd.Dataset:
     )
 
 
-def _line_hash(line: str) -> int:
-    """Pinned line identity: the M2 sha1 hash primitive masked to int64."""
-    return core.url_hash(line) & _MASK63
-
-
 # ---------------------------------------------------------------------------
 # C4-style line-level dedup
 # ---------------------------------------------------------------------------
+
+# "Dedup-relevant" is pinned as Python's `not line.strip()` (the pyoracle
+# rule). Vectorizing it needs the exact CPython str.isspace() character
+# set, which is Unicode White_Space PLUS the \x1c-\x1f separator controls
+# (RE2's \s and Arrow's utf8_trim_whitespace both miss the latter).
+# test_curate.py scans every BMP codepoint against str.isspace to keep
+# this class honest.
+_PY_WS_CHARS = (
+    "\t\n\x0b\x0c\r \x1c\x1d\x1e\x1f\x85\xa0\u1680"
+    + "".join(chr(c) for c in range(0x2000, 0x200B))
+    + "\u2028\u2029\u202f\u205f\u3000"
+)
+_WS_ONLY_RE = "^[" + _PY_WS_CHARS + "]*$"
+
+
+def _doc_lines(t: pa.Table):
+    """Vectorized per-doc line split: (flat line array, per-doc line
+    counts, per-doc flat-start offsets, repeated doc_ids, line indices).
+    Null text splits like "" (one empty line), matching pyoracle's
+    `(text or "").split("\\n")`."""
+    col = pc.fill_null(t.column("text"), "")
+    la = pc.split_pattern(col, "\n")
+    if isinstance(la, pa.ChunkedArray):
+        la = la.combine_chunks()
+    flat = la.flatten()
+    counts = pc.list_value_length(la).to_numpy(zero_copy_only=False).astype(np.int64)
+    starts = np.concatenate(([0], np.cumsum(counts[:-1]))) if len(counts) else np.zeros(0, np.int64)
+    doc_ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    rep_ids = np.repeat(doc_ids, counts)
+    line_idx = np.arange(len(flat), dtype=np.int64) - np.repeat(starts, counts)
+    return flat, counts, starts, rep_ids, line_idx
+
+
+def _line_hash_batch(flat: pa.Array) -> np.ndarray:
+    """Vectorized 63-bit line identity (xxhash via polars, fixed seed —
+    deterministic across worker processes for the pinned polars version).
+    The hash is run-internal: pyoracle keys winners on raw line CONTENT,
+    so any collision-free hash yields identical rewritten output, and a
+    collision would surface as an oracle mismatch rather than hide."""
+    import polars as pl
+
+    if len(flat) == 0:
+        return np.empty(0, np.int64)
+    h = pl.from_arrow(flat).hash(seed=0).to_numpy()
+    return (h & _MASK63).astype(np.int64)
+
+
+def _ws_only_mask(flat: pa.Array) -> np.ndarray:
+    return pc.match_substring_regex(flat, _WS_ONLY_RE).to_numpy(
+        zero_copy_only=False
+    )
 
 
 def line_explode_slim(t: pa.Table) -> pa.Table:
     """(line_hash, occ_key) per dedup-relevant line — whitespace-only lines
     never dedup (they would all collapse into one). Ships ONLY int64s into
-    the groupby; line text stays in the source blocks."""
-    hashes, occs = [], []
-    for doc_id, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
-        for idx, line in enumerate((text or "").split("\n")):
-            if not line.strip():
-                continue
-            hashes.append(_line_hash(line))
-            occs.append((doc_id << _OCC_SHIFT) | idx)
+    the groupby; line text stays in the source blocks. Fully vectorized:
+    Arrow split + one regex pass + one batched hash pass, no per-line
+    Python."""
+    flat, _counts, _starts, rep_ids, line_idx = _doc_lines(t)
+    rel = ~_ws_only_mask(flat)
+    occ = (rep_ids << _OCC_SHIFT) | line_idx
     return pa.table(
         {
-            "line_hash": pa.array(hashes, pa.int64()),
-            "occ_key": pa.array(occs, pa.int64()),
+            "line_hash": pa.array(_line_hash_batch(flat)[rel], pa.int64()),
+            "occ_key": pa.array(occ[rel], pa.int64()),
         }
     )
 
 
 class _LineDedupRewrite:
     """map_batches stage: re-split each doc, drop every duplicated-line
-    occurrence that is not its global winner, reassemble in place. The
-    winner map (duplicated distinct lines only) ships via ray.put once and
-    is built into a dict per actor, not per batch. An optional `gate`
-    filter is fused in front (see `dedup_lines_ds` on why fusing beats an
-    upstream filter stage)."""
+    occurrence that is not its global winner, reassemble in place — all
+    vectorized (batched hash + searchsorted winner probe + binary_join
+    reassembly). The winner table (duplicated distinct lines only) ships
+    via ray.put once and is sorted into probe arrays per actor, not per
+    batch. An optional `gate` filter is fused in front (see
+    `dedup_lines_ds` on why fusing beats an upstream filter stage)."""
 
     def __init__(self, winners_ref, gate=None) -> None:
         w = ray.get(winners_ref) if isinstance(winners_ref, ray.ObjectRef) else winners_ref
-        self.winner_of = {int(h): int(o) for h, o in zip(w[0], w[1])}
+        hashes = np.asarray(w[0], dtype=np.int64)
+        occs = np.asarray(w[1], dtype=np.int64)
+        order = np.argsort(hashes)
+        self.win_hash = hashes[order]
+        self.win_occ = occs[order]
         self.gate = gate
 
     def __call__(self, t: pa.Table) -> pa.Table:
         if self.gate is not None:
             t = self.gate(t)
-        out_text, n_kept, n_dropped = [], [], []
-        for doc_id, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
-            kept, dropped = [], 0
-            for idx, line in enumerate((text or "").split("\n")):
-                if line.strip():
-                    win = self.winner_of.get(_line_hash(line))
-                    if win is not None and win != ((doc_id << _OCC_SHIFT) | idx):
-                        dropped += 1
-                        continue
-                kept.append(line)
-            out_text.append("\n".join(kept))
-            n_kept.append(len(kept))
-            n_dropped.append(dropped)
+        flat, counts, _starts, rep_ids, line_idx = _doc_lines(t)
+        drop = np.zeros(len(flat), dtype=bool)
+        if len(self.win_hash) and len(flat):
+            rel = ~_ws_only_mask(flat)
+            hashes = _line_hash_batch(flat)
+            idx = np.searchsorted(self.win_hash, hashes)
+            idx[idx == len(self.win_hash)] = 0
+            found = self.win_hash[idx] == hashes
+            occ = (rep_ids << _OCC_SHIFT) | line_idx
+            drop = rel & found & (self.win_occ[idx] != occ)
+        kept_flat = flat.filter(pa.array(~drop))
+        ndocs = t.num_rows
+        dropped_per_doc = (
+            np.bincount(
+                np.repeat(np.arange(ndocs, dtype=np.int64), counts),
+                weights=drop,
+                minlength=ndocs,
+            ).astype(np.int64)
+            if len(flat)
+            else np.zeros(ndocs, np.int64)
+        )
+        kept_counts = counts - dropped_per_doc
+        if pa.types.is_large_string(kept_flat.type):
+            offsets = pa.array(
+                np.concatenate(([0], np.cumsum(kept_counts))), pa.int64()
+            )
+            new_la = pa.LargeListArray.from_arrays(offsets, kept_flat)
+        else:
+            offsets = pa.array(
+                np.concatenate(([0], np.cumsum(kept_counts))), pa.int32()
+            )
+            new_la = pa.ListArray.from_arrays(offsets, kept_flat)
         return pa.table(
             {
                 "doc_id": t["doc_id"],
-                "text": pa.array(out_text, pa.string()),
-                "n_kept": pa.array(n_kept, pa.int64()),
-                "n_dropped": pa.array(n_dropped, pa.int64()),
+                "text": pc.cast(pc.binary_join(new_la, "\n"), pa.string()),
+                "n_kept": pa.array(kept_counts, pa.int64()),
+                "n_dropped": pa.array(dropped_per_doc, pa.int64()),
             }
         )
 

@@ -317,3 +317,45 @@ class TestCurateCorpus:
             tmp_path, [1, 2, 3], ["too short", "also short", "# # # tiny"]
         )
         assert curate.curate_corpus(sf).count() == 0
+
+
+class TestVectorizedKernels:
+    def test_ws_class_matches_python_isspace(self):
+        """_WS_ONLY_RE must implement exactly `not line.strip()`: the
+        char class is pinned to CPython's str.isspace over every
+        codepoint (all Unicode whitespace lives in the BMP, but scan the
+        full range anyway)."""
+        import sys
+
+        py = {c for c in map(chr, range(sys.maxunicode + 1)) if c.isspace()}
+        assert py == set(curate._PY_WS_CHARS)
+
+    def test_explode_matches_slow_reference(self):
+        """Vectorized explode == the per-line reference loop (hash equal
+        via the shared batch hasher; occ packing checked bit-exactly),
+        including control-char whitespace, nulls and empty docs."""
+        import pyarrow as pa
+
+        t = pa.table(
+            {
+                "doc_id": pa.array([3, 4, 5, 6], pa.int64()),
+                "text": [
+                    "a\n \x1c\x1d\nb\n\nb",
+                    None,
+                    "",
+                    " only\nmixed \x1f tail\n　",
+                ],
+            }
+        )
+        out = curate.line_explode_slim(t)
+        # slow reference
+        exp_lines, exp_occ = [], []
+        for doc_id, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            for idx, line in enumerate((text or "").split("\n")):
+                if not line.strip():
+                    continue
+                exp_lines.append(line)
+                exp_occ.append((doc_id << curate._OCC_SHIFT) | idx)
+        exp_hash = curate._line_hash_batch(pa.array(exp_lines, pa.string()))
+        assert out["occ_key"].to_pylist() == exp_occ
+        assert out["line_hash"].to_pylist() == list(exp_hash)
