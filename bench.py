@@ -272,17 +272,35 @@ def run_once(args) -> dict:
     # throughput in the same window. Normalize totals across rounds by
     # host_control before concluding regression/improvement.
     host_control = None
+    host_control_polls: list[float] = []
     if not args.no_host_control:
         import shutil as _shutil
+        import time as _time
 
         try:
+            ctrl_cpus = min(num_cpus, os.cpu_count() or num_cpus)
+            has_taskset = _shutil.which("taskset") is not None
             host_control = round(
-                _mp_control_throughput(
-                    min(num_cpus, os.cpu_count() or num_cpus),
-                    _shutil.which("taskset") is not None,
-                ),
-                3,
+                _mp_control_throughput(ctrl_cpus, has_taskset), 3
             )
+            host_control_polls.append(host_control)
+            # Opportunistic healthy-window wait (bounded): archived bench
+            # runs from degraded co-tenant windows are hard to compare
+            # across rounds, so if the window is visibly unhealthy, poll
+            # for up to --healthy-wait seconds for a better one. Proceeds
+            # with the best observed window either way; all polls are
+            # recorded in the JSON.
+            deadline = _time.monotonic() + args.healthy_wait
+            while (
+                host_control < args.healthy_min
+                and ctrl_cpus >= 16  # the 150-reference is the 32-core one
+                and _time.monotonic() < deadline
+            ):
+                _time.sleep(45)
+                host_control = round(
+                    _mp_control_throughput(ctrl_cpus, has_taskset), 3
+                )
+                host_control_polls.append(host_control)
         except Exception:
             pass
     if not ray.is_initialized():
@@ -340,6 +358,8 @@ def run_once(args) -> dict:
         # BENCH/BASELINE.md records the quiet-window reference value
         "host_control": host_control,
     }
+    if len(host_control_polls) > 1:
+        result["host_control_polls"] = host_control_polls
     ray.shutdown()
     return result
 
@@ -402,7 +422,31 @@ def run_scaling(args) -> dict:
     # honest proxy for an N-core cluster node.
     has_taskset = _shutil.which("taskset") is not None
     control: dict[int, list[float]] = {args.cpus_low: [], args.cpus_high: []}
+    gate_log: list[dict] = []
     for _ in range(args.trials):
+        if args.quiet_window:
+            # Opportunistic quiet-window capture (VERDICT r3 #4): poll the
+            # cpus_high sha1-mp control and hold the trial until the host
+            # itself is within --quiet-frac of the documented quiet
+            # reference. Trials that time out still run but are tagged
+            # official=False so the official set stays quiet-window-only.
+            import time as _time
+
+            bar = args.quiet_ref * args.quiet_frac
+            waited, gate_ctrl = 0.0, _mp_control_throughput(
+                args.cpus_high, has_taskset
+            )
+            while gate_ctrl < bar and waited < args.quiet_max_wait:
+                _time.sleep(args.quiet_poll)
+                waited += args.quiet_poll
+                gate_ctrl = _mp_control_throughput(args.cpus_high, has_taskset)
+            gate_log.append(
+                {
+                    "gate_control": round(gate_ctrl, 2),
+                    "waited_s": round(waited, 1),
+                    "official": gate_ctrl >= bar,
+                }
+            )
         for cpus in (args.cpus_low, args.cpus_high):
             control[cpus].append(_mp_control_throughput(cpus, has_taskset))
             cmd = [sys.executable, os.path.abspath(__file__), "--components",
@@ -429,7 +473,7 @@ def run_scaling(args) -> dict:
         h / l for l, h in zip(control[args.cpus_low], control[args.cpus_high])
     ]
     ctrl_eff = statistics.median(ctrl_ratios) / factor
-    return {
+    result = {
         "metric": "scaling_efficiency",
         "value": round(eff, 3),
         "unit": "ratio",
@@ -458,6 +502,22 @@ def run_scaling(args) -> dict:
             "ceiling_normalized_efficiency": round(eff / ctrl_eff, 3) if ctrl_eff else None,
         },
     }
+    if args.quiet_window:
+        official = [
+            r / factor
+            for r, g in zip(ratios, gate_log)
+            if g["official"]
+        ]
+        result["detail"]["quiet_window"] = {
+            "quiet_ref": args.quiet_ref,
+            "quiet_frac": args.quiet_frac,
+            "per_trial": gate_log,
+            "official_trials": len(official),
+            "official_efficiency_median": (
+                round(statistics.median(official), 3) if official else None
+            ),
+        }
+    return result
 
 
 def main() -> None:
@@ -473,6 +533,24 @@ def main() -> None:
     ap.add_argument("--no-host-control", action="store_true",
                     help="skip the sha1-mp host control burn (scaling "
                          "subprocess runs pass this; the parent measures)")
+    # default-run healthy-window wait (bounded; run_once)
+    ap.add_argument("--healthy-min", type=float, default=150.0,
+                    help="32-core host-control floor for an archival-grade "
+                         "window (quiet reference 157-192)")
+    ap.add_argument("--healthy-wait", type=float, default=600.0,
+                    help="max seconds run_once polls for a healthy window "
+                         "before proceeding anyway (0 disables)")
+    # scaling quiet-window capture (run_scaling)
+    ap.add_argument("--quiet-window", action="store_true",
+                    help="hold each scaling trial until the cpus_high "
+                         "sha1-mp control reaches quiet-frac of quiet-ref; "
+                         "timed-out trials run tagged official=False")
+    ap.add_argument("--quiet-ref", type=float, default=73.0,
+                    help="quiet-window 8-core control reference "
+                         "(BENCH/BASELINE.md: 72-75)")
+    ap.add_argument("--quiet-frac", type=float, default=0.90)
+    ap.add_argument("--quiet-poll", type=float, default=45.0)
+    ap.add_argument("--quiet-max-wait", type=float, default=900.0)
     args = ap.parse_args()
     result = run_scaling(args) if args.scaling else run_once(args)
     print(json.dumps(result))
