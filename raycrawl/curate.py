@@ -114,6 +114,16 @@ def _ws_only_mask(flat: pa.Array) -> np.ndarray:
     )
 
 
+def _join_kept_lines(kept_flat: pa.Array, kept_counts: np.ndarray) -> pa.Array:
+    """Reassemble per-doc text from kept flat lines + per-doc counts."""
+    offs = np.concatenate(([0], np.cumsum(kept_counts)))
+    if pa.types.is_large_string(kept_flat.type):
+        la = pa.LargeListArray.from_arrays(pa.array(offs, pa.int64()), kept_flat)
+    else:
+        la = pa.ListArray.from_arrays(pa.array(offs, pa.int32()), kept_flat)
+    return pc.cast(pc.binary_join(la, "\n"), pa.string())
+
+
 def line_explode_slim(t: pa.Table) -> pa.Table:
     """(line_hash, occ_key) per dedup-relevant line — whitespace-only lines
     never dedup (they would all collapse into one). Ships ONLY int64s into
@@ -174,20 +184,10 @@ class _LineDedupRewrite:
             else np.zeros(ndocs, np.int64)
         )
         kept_counts = counts - dropped_per_doc
-        if pa.types.is_large_string(kept_flat.type):
-            offsets = pa.array(
-                np.concatenate(([0], np.cumsum(kept_counts))), pa.int64()
-            )
-            new_la = pa.LargeListArray.from_arrays(offsets, kept_flat)
-        else:
-            offsets = pa.array(
-                np.concatenate(([0], np.cumsum(kept_counts))), pa.int32()
-            )
-            new_la = pa.ListArray.from_arrays(offsets, kept_flat)
         return pa.table(
             {
                 "doc_id": t["doc_id"],
-                "text": pc.cast(pc.binary_join(new_la, "\n"), pa.string()),
+                "text": _join_kept_lines(kept_flat, kept_counts),
                 "n_kept": pa.array(kept_counts, pa.int64()),
                 "n_dropped": pa.array(dropped_per_doc, pa.int64()),
             }
@@ -308,24 +308,28 @@ def _collect_drop_list(t: pa.Table) -> pa.Table:
 def _rewrite_with_drop_lists(t: pa.Table) -> pa.Table:
     """Rewrite docs using the joined per-doc drop-index lists (null = keep
     all lines). Line indices refer to the original split, so no second
-    hashing pass is needed on this path."""
-    out_text, n_kept, n_dropped = [], [], []
-    for text, blob in zip(t["text"].to_pylist(), t["drop_idxs"].to_pylist()):
-        lines = (text or "").split("\n")
+    hashing pass is needed on this path. Vectorized: one Arrow split, a
+    flat drop mask assembled from the packed blobs (one Python step per
+    DUPLICATE-BEARING doc, not per line), binary_join reassembly."""
+    lflat, counts, ldoc = _flatten_list_col(
+        pc.split_pattern(pc.fill_null(t.column("text"), ""), "\n")
+    )
+    starts = np.concatenate(([0], np.cumsum(counts[:-1]))) if len(counts) else counts
+    drop = np.zeros(len(lflat), dtype=bool)
+    dropped_per_doc = np.zeros(t.num_rows, dtype=np.int64)
+    for i, blob in enumerate(t["drop_idxs"].to_pylist()):
         if blob:
-            dset = set(np.frombuffer(blob, dtype="<i8").tolist())
-            kept = [x for i, x in enumerate(lines) if i not in dset]
-        else:
-            kept = lines
-        out_text.append("\n".join(kept))
-        n_kept.append(len(kept))
-        n_dropped.append(len(dset) if blob else 0)
+            idxs = np.frombuffer(blob, dtype="<i8")
+            drop[starts[i] + idxs] = True
+            dropped_per_doc[i] = len(idxs)
+    kept_flat = lflat.filter(pa.array(~drop))
+    kept_counts = counts - dropped_per_doc
     return pa.table(
         {
             "doc_id": t["doc_id"],
-            "text": pa.array(out_text, pa.string()),
-            "n_kept": pa.array(n_kept, pa.int64()),
-            "n_dropped": pa.array(n_dropped, pa.int64()),
+            "text": _join_kept_lines(kept_flat, kept_counts),
+            "n_kept": pa.array(kept_counts, pa.int64()),
+            "n_dropped": pa.array(dropped_per_doc, pa.int64()),
         }
     )
 
@@ -385,6 +389,29 @@ def _dedup_lines_join_path(
 # ---------------------------------------------------------------------------
 
 
+_WS_SPLIT_RE = "[" + _PY_WS_CHARS + "]+"  # Python str.split() separator runs
+
+
+def _flatten_list_col(la):
+    """(flat values array, per-row counts, per-row doc indices)."""
+    if isinstance(la, pa.ChunkedArray):
+        la = la.combine_chunks()
+    flat = la.flatten()
+    counts = pc.list_value_length(la).to_numpy(zero_copy_only=False).astype(np.int64)
+    doc = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+    return flat, counts, doc
+
+
+def _per_doc_dup_stats(doc: np.ndarray, keys: np.ndarray, n: int):
+    """Per-doc (count, weight-capable) run stats for repeated keys: sorts
+    (doc, key), marks every occurrence beyond a run's first as dup."""
+    order = np.lexsort((keys, doc))
+    d_s, k_s = doc[order], keys[order]
+    first = np.ones(len(k_s), dtype=bool)
+    first[1:] = (d_s[1:] != d_s[:-1]) | (k_s[1:] != k_s[:-1])
+    return order, d_s, first
+
+
 def gopher_batch(t: pa.Table, col: str = "text") -> pa.Table:
     """Integer repetition/quality signals per document plus the composite
     `gopher_pass` gate. All comparisons are integer cross-multiplications
@@ -395,57 +422,80 @@ def gopher_batch(t: pa.Table, col: str = "text") -> pa.Table:
              and 5 * top2_count <= n_2grams                        (<= 20%)
              and 3 * n_words <= n_word_chars <= 10 * n_words       (mean 3-10)
              and 10 * n_symbols <= n_words                         (<= 10%)
-    """
-    cols: dict[str, list[int]] = {
-        k: []
-        for k in (
-            "n_words", "n_word_chars", "n_lines", "n_nonempty_lines",
-            "n_dup_lines", "n_chars_dup_lines", "top2_count", "n_2grams",
-            "n_symbols", "gopher_pass",
-        )
-    }
-    for text in t[col].to_pylist():
-        x = text or ""
-        words = x.split()
-        nw = len(words)
-        nwc = sum(len(w) for w in words)
-        lines = x.split("\n")
-        seen: set[str] = set()
-        ndup = cdup = nne = 0
-        for line in lines:
-            if not line.strip():
-                continue
-            nne += 1
-            if line in seen:
-                ndup += 1
-                cdup += len(line)
-            else:
-                seen.add(line)
-        freq: dict[tuple[str, str], int] = {}
-        top2 = 0
-        for a, b in zip(words, words[1:]):
-            n = freq.get((a, b), 0) + 1
-            freq[(a, b)] = n
-            if n > top2:
-                top2 = n
-        n2 = max(0, nw - 1)
-        nsym = x.count("#") + x.count("...")
-        ok = (
-            50 <= nw <= 100000
-            and 10 * ndup < 3 * max(1, nne)
-            and 5 * top2 <= n2
-            and 3 * nw <= nwc <= 10 * nw
-            and 10 * nsym <= nw
-        )
-        for k, v in (
-            ("n_words", nw), ("n_word_chars", nwc), ("n_lines", len(lines)),
-            ("n_nonempty_lines", nne), ("n_dup_lines", ndup),
-            ("n_chars_dup_lines", cdup), ("top2_count", top2),
-            ("n_2grams", n2), ("n_symbols", nsym), ("gopher_pass", int(ok)),
-        ):
-            cols[k].append(v)
+
+    Fully vectorized (Arrow splits + batched hashing + numpy run stats):
+    dup-line and top-bigram identities use the batched 64-bit hash —
+    run-internal, collision-accepted exactly like dedup_lines (pyoracle
+    keys on content, so a collision surfaces as an oracle mismatch).
+    test_curate.py pins byte-equality with pyoracle's per-row loop."""
+    s = pc.fill_null(t.column(col), "")
+    if isinstance(s, pa.ChunkedArray):
+        s = s.combine_chunks()
+    n = t.num_rows
+
+    # --- words: Python str.split() == regex split on isspace runs with
+    # empty edge tokens dropped ---
+    wflat, _wc, wdoc = _flatten_list_col(pc.split_pattern_regex(s, _WS_SPLIT_RE))
+    wlen = pc.utf8_length(wflat).to_numpy(zero_copy_only=False).astype(np.int64)
+    keep = wlen > 0
+    nw = np.bincount(wdoc[keep], minlength=n).astype(np.int64)
+    nwc = np.bincount(wdoc[keep], weights=wlen[keep], minlength=n).astype(np.int64)
+
+    # --- top repeated bigram (over in-order non-empty words) ---
+    top2 = np.zeros(n, dtype=np.int64)
+    wh = _line_hash_batch(wflat.filter(pa.array(keep))).astype(np.uint64)
+    bdoc = wdoc[keep]
+    if len(wh) > 1:
+        same = bdoc[:-1] == bdoc[1:]
+        # order-sensitive pair combine (golden-ratio multiply then xor);
+        # collision-accepted like the line hash above
+        ph = (wh[:-1] * np.uint64(0x9E3779B97F4A7C15)) ^ wh[1:]
+        pdoc, ph = bdoc[:-1][same], ph[same]
+        if len(ph):
+            _order, d_s, first = _per_doc_dup_stats(pdoc, ph, n)
+            run_starts = np.flatnonzero(first)
+            run_lens = np.diff(np.append(run_starts, len(ph)))
+            np.maximum.at(top2, d_s[run_starts], run_lens)
+    n2 = np.maximum(nw - 1, 0)
+
+    # --- lines: duplicated-within-doc stats over dedup-relevant lines ---
+    lflat, lcounts, ldoc = _flatten_list_col(pc.split_pattern(s, "\n"))
+    rel = ~_ws_only_mask(lflat)
+    nne = np.bincount(ldoc[rel], minlength=n).astype(np.int64)
+    ndup = np.zeros(n, dtype=np.int64)
+    cdup = np.zeros(n, dtype=np.int64)
+    rdoc = ldoc[rel]
+    if len(rdoc):
+        rh = _line_hash_batch(lflat.filter(pa.array(rel)))
+        rlen = pc.utf8_length(lflat).to_numpy(zero_copy_only=False).astype(np.int64)[rel]
+        order, d_s, first = _per_doc_dup_stats(rdoc, rh, n)
+        dup = ~first
+        ndup = np.bincount(d_s[dup], minlength=n).astype(np.int64)
+        cdup = np.bincount(
+            d_s[dup], weights=rlen[order][dup], minlength=n
+        ).astype(np.int64)
+
+    # --- symbols: both counts are non-overlapping left-to-right in Arrow
+    # and CPython alike ---
+    nsym = pc.add(
+        pc.count_substring(s, "#"), pc.count_substring(s, "...")
+    ).to_numpy(zero_copy_only=False).astype(np.int64)
+
+    ok = (
+        (nw >= 50) & (nw <= 100000)
+        & (10 * ndup < 3 * np.maximum(1, nne))
+        & (5 * top2 <= n2)
+        & (3 * nw <= nwc) & (nwc <= 10 * nw)
+        & (10 * nsym <= nw)
+    )
     out = t.select(["doc_id"])
-    for k, v in cols.items():
+    for k, v in (
+        ("n_words", nw), ("n_word_chars", nwc), ("n_lines", lcounts),
+        ("n_nonempty_lines", nne), ("n_dup_lines", ndup),
+        ("n_chars_dup_lines", cdup), ("top2_count", top2),
+        ("n_2grams", n2), ("n_symbols", nsym),
+        ("gopher_pass", ok.astype(np.int64)),
+    ):
         out = out.append_column(k, pa.array(v, pa.int64()))
     return out
 

@@ -359,3 +359,74 @@ class TestVectorizedKernels:
         exp_hash = curate._line_hash_batch(pa.array(exp_lines, pa.string()))
         assert out["occ_key"].to_pylist() == exp_occ
         assert out["line_hash"].to_pylist() == list(exp_hash)
+
+    def test_gopher_vectorized_matches_reference_loop(self):
+        """The vectorized gopher kernel must equal the per-row reference
+        loop (pyoracle's shape) field-for-field on crafted + randomized
+        inputs: unicode/control whitespace, dup lines, bigram repeats,
+        symbol runs, empty/null docs. Pure function — no Ray needed."""
+        import random
+
+        import pyarrow as pa
+
+        def ref_row(x):
+            x = x or ""
+            words = x.split()
+            nw, nwc = len(words), sum(len(w) for w in words)
+            seen, ndup, cdup, nne = set(), 0, 0, 0
+            lines = x.split("\n")
+            for line in lines:
+                if not line.strip():
+                    continue
+                nne += 1
+                if line in seen:
+                    ndup += 1
+                    cdup += len(line)
+                else:
+                    seen.add(line)
+            freq, top2 = {}, 0
+            for ab in zip(words, words[1:]):
+                freq[ab] = freq.get(ab, 0) + 1
+                top2 = max(top2, freq[ab])
+            n2 = max(0, nw - 1)
+            nsym = x.count("#") + x.count("...")
+            ok = (
+                50 <= nw <= 100000 and 10 * ndup < 3 * max(1, nne)
+                and 5 * top2 <= n2 and 3 * nw <= nwc <= 10 * nw
+                and 10 * nsym <= nw
+            )
+            return dict(
+                n_words=nw, n_word_chars=nwc, n_lines=len(lines),
+                n_nonempty_lines=nne, n_dup_lines=ndup,
+                n_chars_dup_lines=cdup, top2_count=top2, n_2grams=n2,
+                n_symbols=nsym, gopher_pass=int(ok),
+            )
+
+        random.seed(7)
+        texts = [
+            "", None, "   ", "\x1c\x1d", "a b a b a b a b",
+            "dup line\ndup line\ndup line\nother",
+            "word " * 60, "héllo wörld héllo wörld\nhéllo wörld",
+            "x\n\n\nx\n x \nx", "a" * 200, "... ... ... .....",
+            " sep ", "　ideographic　space　",
+            "tab\tsep\x0bvert\x0cff\rcr", "#" * 7 + " w1 w2 w3",
+        ]
+        vocab = ["aa", "bb", "cc", "dd", "#", "...", "x"]
+        seps = [" ", "\n", "  ", "\n\n", "\t"]
+        for _ in range(300):
+            n = random.randint(0, 60)
+            texts.append(
+                "".join(
+                    random.choice(vocab) + random.choice(seps)
+                    for _ in range(n)
+                )
+            )
+        t = pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+        for row, text in zip(curate.gopher_batch(t).to_pylist(), texts):
+            exp = ref_row(text)
+            assert {k: row[k] for k in exp} == exp, (text, row)
