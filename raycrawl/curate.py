@@ -41,7 +41,6 @@ import ray
 import ray.data as rd
 from ray.data.aggregate import Count, Min
 
-from raycrawl import core
 from raycrawl.ioutil import nonempty_blocks as _nonempty_blocks
 
 _LOG = logging.getLogger(__name__)
@@ -514,18 +513,49 @@ N_BENCH_DOCS = 20  # lowest doc_ids form the held-out "benchmark" set
 NGRAM = 8
 
 
-def _gram_hashes(words: list[str]) -> set[int]:
-    return {
-        core.url_hash(" ".join(words[i : i + NGRAM])) & _MASK63
-        for i in range(len(words) - NGRAM + 1)
-    }
+_GRAM_MULT = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _gram_hash_arrays(t: pa.Table, col: str = "text"):
+    """(doc_row_index, gram_hash) for every word-8-gram in the batch,
+    fully vectorized: one Arrow whitespace split, one batched word-hash
+    pass, then an order-sensitive rolling combine (golden-ratio multiply
+    + xor, NGRAM-1 numpy steps). Grams never span documents. The identity
+    is run-internal and collision-accepted exactly like the line-dedup
+    hash: pyoracle keys overlap on raw 8-word TUPLES, so a collision
+    surfaces as an oracle mismatch rather than hide."""
+    s = pc.fill_null(t.column(col), "")
+    if isinstance(s, pa.ChunkedArray):
+        s = s.combine_chunks()
+    wflat, _wc, wdoc = _flatten_list_col(pc.split_pattern_regex(s, _WS_SPLIT_RE))
+    keep = pc.utf8_length(wflat).to_numpy(zero_copy_only=False) > 0
+    wdoc = wdoc[keep]
+    wh = _line_hash_batch(wflat.filter(pa.array(keep))).astype(np.uint64)
+    if len(wh) < NGRAM:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    g = wh[: len(wh) - NGRAM + 1].copy()
+    for k in range(1, NGRAM):
+        g = (g * _GRAM_MULT) ^ wh[k : len(wh) - NGRAM + 1 + k]
+    same_doc = wdoc[: len(g)] == wdoc[NGRAM - 1 :]
+    gh = (g[same_doc] & np.uint64(_MASK63)).astype(np.int64)
+    return wdoc[: len(g)][same_doc], gh
+
+
+def _distinct_per_doc(gdoc: np.ndarray, gh: np.ndarray):
+    """Collapse (doc, gram) pairs to one row per distinct pair."""
+    order = np.lexsort((gh, gdoc))
+    d_s, h_s = gdoc[order], gh[order]
+    first = np.ones(len(h_s), dtype=bool)
+    first[1:] = (d_s[1:] != d_s[:-1]) | (h_s[1:] != h_s[:-1])
+    return d_s[first], h_s[first]
 
 
 class _ContamScan:
     """map_batches stage: distinct word-8-gram overlap count against the
     broadcast benchmark gram set (sorted-array searchsorted probe). With
     `gate=True` it instead FILTERS the batch to overlap-free rows (all
-    input columns preserved) for use inside composite pipelines."""
+    input columns preserved) for use inside composite pipelines.
+    Vectorized end to end — no per-row or per-gram Python."""
 
     def __init__(self, grams_ref, gate: bool = False) -> None:
         g = ray.get(grams_ref) if isinstance(grams_ref, ray.ObjectRef) else grams_ref
@@ -533,16 +563,17 @@ class _ContamScan:
         self.gate = gate
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        n_overlap = []
-        for text in t["text"].to_pylist():
-            hs = _gram_hashes((text or "").split())
-            if not hs or len(self.grams) == 0:
-                n_overlap.append(0)
-                continue
-            arr = np.fromiter(hs, dtype=np.int64, count=len(hs))
-            idx = np.searchsorted(self.grams, arr)
-            idx[idx == len(self.grams)] = 0
-            n_overlap.append(int((self.grams[idx] == arr).sum()))
+        n_overlap = np.zeros(t.num_rows, dtype=np.int64)
+        if len(self.grams):
+            gdoc, gh = _gram_hash_arrays(t)
+            if len(gh):
+                gdoc, gh = _distinct_per_doc(gdoc, gh)
+                idx = np.searchsorted(self.grams, gh)
+                idx[idx == len(self.grams)] = 0
+                hit = self.grams[idx] == gh
+                n_overlap = np.bincount(
+                    gdoc[hit], minlength=t.num_rows
+                ).astype(np.int64)
         ov = pa.array(n_overlap, pa.int64())
         if self.gate:
             return t.filter(pc.equal(ov, 0))
@@ -558,15 +589,14 @@ class _ContamScan:
 def _bench_grams_ref(sf_dir: str):
     """Broadcast handle for the benchmark 8-gram hash set, built from the
     RAW text of the N_BENCH_DOCS lowest-doc_id documents via a
-    row-group-pruned read (never a full-table scan)."""
+    row-group-pruned read (never a full-table scan). Uses the SAME gram
+    kernel as the probe side so identities agree."""
     from raycrawl.ioutil import read_lowest
 
     path = os.path.join(sf_dir, "documents.parquet")
     bench = read_lowest(path, "doc_id", N_BENCH_DOCS, ["doc_id", "text"])
-    grams: set[int] = set()
-    for text in bench["text"].to_pylist():
-        grams |= _gram_hashes((text or "").split())
-    return ray.put(np.array(sorted(grams), dtype=np.int64))
+    _gdoc, gh = _gram_hash_arrays(bench)
+    return ray.put(np.unique(gh))
 
 
 def decontaminate(sf_dir: str) -> rd.Dataset:
