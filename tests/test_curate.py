@@ -430,3 +430,60 @@ class TestVectorizedKernels:
         for row, text in zip(curate.gopher_batch(t).to_pylist(), texts):
             exp = ref_row(text)
             assert {k: row[k] for k in exp} == exp, (text, row)
+
+    def test_gram_scan_matches_tuple_reference(self):
+        """The vectorized 8-gram contamination scan must equal the
+        word-TUPLE reference (pyoracle's identity) on crafted inputs:
+        grams must never span documents, <NGRAM-word docs contribute
+        nothing, repeated grams count once (distinct), and whitespace
+        splitting matches Python str.split(). Pure function — the scan
+        class accepts a raw numpy gram array, no Ray needed."""
+        import numpy as np
+        import pyarrow as pa
+
+        n = curate.NGRAM
+        bench_words = [f"w{i}" for i in range(n + 4)]  # 5 distinct 8-grams
+        bench_text = " ".join(bench_words)
+        bench_t = pa.table(
+            {"doc_id": pa.array([0], pa.int64()), "text": [bench_text]}
+        )
+        _d, gh = curate._gram_hash_arrays(bench_t)
+        grams = np.unique(gh)
+        assert len(grams) == 5  # all distinct -> no collisions here
+
+        texts = [
+            bench_text,                          # full overlap: 5
+            " ".join(bench_words[:n]),           # exactly one gram: 1
+            " ".join(bench_words[: n - 1]),      # 7 words: no gram: 0
+            # spanning trap: first half of a bench gram ends this doc...
+            " ".join(bench_words[: n // 2]),     # 0 (4 words)
+            # ...and the second half starts this one -> must stay 0
+            " ".join(bench_words[n // 2 : n]),   # 0 (4 words)
+            ( " ".join(bench_words[:n]) + "\n" ) * 3,  # repeated gram: 1
+            "",                                   # empty: 0
+            None,                                 # null: 0
+            "\t" + " ".join(bench_words[1 : n + 1]) + " 　",  # ws edges: 1
+            " ".join(reversed(bench_words[:n])),  # order-sensitive: 0
+        ]
+        t = pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+        out = curate._ContamScan(grams)(t)
+
+        bench_tuples = {
+            tuple(bench_words[i : i + n])
+            for i in range(len(bench_words) - n + 1)
+        }
+        for doc, text, got in zip(
+            range(len(texts)), texts, out["n_overlap"].to_pylist()
+        ):
+            ws = (text or "").split()
+            exp = len(
+                {tuple(ws[i : i + n]) for i in range(len(ws) - n + 1)}
+                & bench_tuples
+            )
+            assert got == exp, (doc, text, got, exp)
+        assert out["n_overlap"].to_pylist()[:6] == [5, 1, 0, 0, 0, 1]
