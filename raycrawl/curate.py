@@ -231,22 +231,10 @@ def dedup_lines_ds(
     force the join path with empty-block-bearing inputs."""
     if driver_max_winners is None:  # resolved at call time (tests patch it)
         driver_max_winners = LINE_DEDUP_DRIVER_MAX
-    explode = (
-        line_explode_slim
-        if gate is None
-        else (lambda t: line_explode_slim(gate(t)))
-    )
-    occ = docs.map_batches(
-        explode, batch_format="pyarrow", zero_copy_batch=True
-    )
-    agg = occ.groupby("line_hash").aggregate(Count(), Min("occ_key"))
     # Winner table = duplicated distinct lines only. Materialize it (it is
     # the slim post-aggregation side) so the size probe and the chosen
     # rewrite path share one execution of the explode+groupby.
-    dup = agg.map_batches(
-        lambda t: t.filter(pc.greater(t["count()"], 1)),
-        batch_format="pyarrow", zero_copy_batch=True,
-    ).materialize()
+    dup = line_dup_winners(docs, gate).materialize()
     if dup.count() <= driver_max_winners:
         # Broadcast path: winner map ships once via ray.put, rewrite is a
         # single streaming pass re-probing each line's pinned hash.
@@ -265,6 +253,28 @@ def dedup_lines_ds(
             concurrency=(1, int(ray.cluster_resources().get("CPU", 8))),
         )
     return _dedup_lines_join_path(docs, dup, gate)
+
+
+def line_dup_winners(docs: rd.Dataset, gate=None) -> rd.Dataset:
+    """The global duplicated-line winner table as a lazy Dataset:
+    (line_hash, count(), min(occ_key)) for every line occurring more than
+    once among (gated) documents. The only exchange is the slim int64
+    groupby; line TEXT never shuffles. Shared by `dedup_lines_ds` and the
+    resumable `pipelines/curate.py` run (which snapshots it so resumes
+    skip the shuffle entirely)."""
+    explode = (
+        line_explode_slim
+        if gate is None
+        else (lambda t: line_explode_slim(gate(t)))
+    )
+    occ = docs.map_batches(
+        explode, batch_format="pyarrow", zero_copy_batch=True
+    )
+    agg = occ.groupby("line_hash").aggregate(Count(), Min("occ_key"))
+    return agg.map_batches(
+        lambda t: t.filter(pc.greater(t["count()"], 1)),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
 
 
 
