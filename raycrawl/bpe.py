@@ -136,6 +136,8 @@ def token_count_bpe(sf_dir: str, n_merges: int = 512):
     import ray
     import ray.data as rd
 
+    from raycrawl.ioutil import cpu_pool
+
     merges_ref = ray.put(train_from_documents(sf_dir, n_merges))
 
     class CountTokens:
@@ -153,5 +155,5 @@ def token_count_bpe(sf_dir: str, n_merges: int = 512):
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
     ).map_batches(
         CountTokens, fn_constructor_args=(merges_ref,),
-        batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 4),
+        batch_format="pyarrow", zero_copy_batch=True, concurrency=cpu_pool(),
     )

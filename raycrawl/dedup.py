@@ -31,6 +31,8 @@ import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
+from raycrawl.ioutil import cpu_pool
+
 _LOG = logging.getLogger("raycrawl.dedup")
 
 _MERSENNE = (1 << 61) - 1
@@ -330,7 +332,7 @@ def minhash_drop_ids(sf_dir: str, threshold: float = 0.7) -> set[int]:
     sig_by_id: dict[int, np.ndarray] = {}
     for b in sigs.map_batches(
         PullSigs, fn_constructor_args=(cref,),
-        batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 4),
+        batch_format="pyarrow", zero_copy_batch=True, concurrency=cpu_pool(),
     ).iter_batches(batch_format="pyarrow"):
         for i, s in zip(b["doc_id"].to_pylist(), b["sig"].to_pylist()):
             sig_by_id[i] = np.asarray(s, dtype=np.uint64)
@@ -353,7 +355,7 @@ def minhash_dedup(sf_dir: str, threshold: float = 0.7) -> rd.Dataset:
         rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
         .map_batches(
             _DropFilter, fn_constructor_args=(dref, "doc_id"),
-            batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 4),
+            batch_format="pyarrow", zero_copy_batch=True, concurrency=cpu_pool(),
         )
     )
 
@@ -441,7 +443,7 @@ def simhash_dedup(sf_dir: str, max_hamming: int = 3) -> rd.Dataset:
     dref = ray.put(pa.array(sorted(drop), pa.int64()))
     return docs.select_columns(["doc_id"]).map_batches(
         _DropFilter, fn_constructor_args=(dref, "doc_id"),
-        batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 4),
+        batch_format="pyarrow", zero_copy_batch=True, concurrency=cpu_pool(),
     )
 
 
@@ -529,7 +531,7 @@ def jaccard_dedup(sf_dir: str, threshold: float = 0.7) -> rd.Dataset:
         sh_by_id: dict[int, frozenset] = {}
         for b in docs.map_batches(
             PullShingleSets, fn_constructor_args=(cref,),
-            batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 4),
+            batch_format="pyarrow", zero_copy_batch=True, concurrency=cpu_pool(),
         ).iter_batches(batch_format="pyarrow"):
             for i, s in zip(b["doc_id"].to_pylist(), b["sh"].to_pylist()):
                 sh_by_id[i] = frozenset(s)
@@ -551,6 +553,6 @@ def jaccard_dedup(sf_dir: str, threshold: float = 0.7) -> rd.Dataset:
         rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
         .map_batches(
             _DropFilter, fn_constructor_args=(dref, "doc_id"),
-            batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 4),
+            batch_format="pyarrow", zero_copy_batch=True, concurrency=cpu_pool(),
         )
     )

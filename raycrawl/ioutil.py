@@ -75,3 +75,14 @@ def nonempty_blocks(mat_ds, schema: pa.Schema):
     if not refs:
         return rd.from_arrow(schema.empty_table())
     return rd.from_arrow_refs(refs)
+
+
+def cpu_pool(min_actors: int = 1) -> tuple[int, int]:
+    """Autoscaling actor-pool bounds sized to the cluster. The pool is
+    demand-driven — Ray only scales toward the max while input blocks
+    queue and CPUs are free — so max=ncpu never over-reserves a shared
+    pipeline, while a hardcoded small max WOULD starve a wide cluster
+    (a (1, 4) pool leaves 28 of 32 cores idle on the bench box)."""
+    import ray
+
+    return (min_actors, int(ray.cluster_resources().get("CPU", 8)))

@@ -72,11 +72,13 @@ class MediaFeatureStage:
         )
 
 
-def media_features(ds: rd.Dataset, concurrency=(1, 4), batch_size: int = 64) -> rd.Dataset:
+def media_features(ds: rd.Dataset, concurrency=None, batch_size: int = 64) -> rd.Dataset:
+    from raycrawl.ioutil import cpu_pool
+
     return ds.map_batches(
         MediaFeatureStage,
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=concurrency or cpu_pool(),
         batch_format="pyarrow",
         zero_copy_batch=True,
     )

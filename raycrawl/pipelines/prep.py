@@ -65,5 +65,6 @@ def prep_corpus(
 
     return docs.map_batches(
         Analyze, fn_constructor_args=(drop_ref,),
-        batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 4),
+        batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=(1, int(ray.cluster_resources().get("CPU", 8))),
     )

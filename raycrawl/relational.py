@@ -25,7 +25,10 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 import ray.data as rd
+
 from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+from raycrawl.ioutil import cpu_pool
 
 from raycrawl import core
 
@@ -272,7 +275,7 @@ def q_broadcast_join(sf_dir: str):
 
     return _pq(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
         Attach, fn_constructor_args=(ref,), batch_format="pyarrow",
-        zero_copy_batch=True, concurrency=(1, 4),
+        zero_copy_batch=True, concurrency=cpu_pool(),
     )
 
 
@@ -393,7 +396,7 @@ def q_pipeline_topk(sf_dir: str):
 
     orders = _pq(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
         SemiFilter, fn_constructor_args=(bref,),
-        batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 4),
+        batch_format="pyarrow", zero_copy_batch=True, concurrency=cpu_pool(),
     )
     li = _pq(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
     joined = li.join(orders, "inner", num_partitions=8, on=("l_orderkey",), right_on=("o_orderkey",))
@@ -446,7 +449,7 @@ def q_pipeline_nation_rollup(sf_dir: str):
     return (
         joined.map_batches(
             AttachNation, fn_constructor_args=(cref,),
-            batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 4),
+            batch_format="pyarrow", zero_copy_batch=True, concurrency=cpu_pool(),
         )
         .groupby("n_name")
         .aggregate(Count(alias_name="n"), Sum("l_quantity", alias_name="sum_qty"))

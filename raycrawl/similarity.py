@@ -22,6 +22,8 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
+from raycrawl.ioutil import cpu_pool
+
 _HYPERPLANES = np.random.RandomState(1234).randn(16, 64)
 
 # banded hyperplane tables for the near-dup LSH scale path: 4 independent
@@ -370,7 +372,7 @@ def embedding_neardup(sf_dir: str, threshold: float = 0.97):
     dref = ray.put(pa.array(sorted(drop), pa.int64()))
     return rd.read_parquet(path, columns=["vec_id"]).map_batches(
         _DropFilter, fn_constructor_args=(dref, "vec_id"),
-        batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 4),
+        batch_format="pyarrow", zero_copy_batch=True, concurrency=cpu_pool(),
     )
 
 
@@ -442,5 +444,5 @@ def embedding_neardup_lsh(sf_dir: str, threshold: float = 0.97):
     dref = ray.put(pa.array(sorted(drop), pa.int64()))
     return rd.read_parquet(path, columns=["vec_id"]).map_batches(
         _DropFilter, fn_constructor_args=(dref, "vec_id"),
-        batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 4),
+        batch_format="pyarrow", zero_copy_batch=True, concurrency=cpu_pool(),
     )
