@@ -344,6 +344,15 @@ def run_once(args) -> dict:
     import ray.data as rd
 
     rd.DataContext.get_current().enable_progress_bars = False
+    # Bench-wide executor config: per-operator resource reservation caps
+    # map-dominated plans below full width (see bench_extract_analyze
+    # comment; measured at 32 CPUs: extract +8.6% pages/s, crawl neutral).
+    # None of the bench pipelines approach memory pressure, which is what
+    # reservation exists to arbitrate.
+    try:
+        rd.DataContext.get_current().op_resource_reservation_enabled = False
+    except AttributeError:
+        pass
 
     queries: dict[str, float] = {}
     throughput: dict[str, float] = {}
