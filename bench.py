@@ -358,6 +358,26 @@ def run_once(args) -> dict:
     throughput: dict[str, float] = {}
     total = 0.0
     components = args.components.split(",")
+    # Warm the worker pool once before timing ANY component: the first
+    # pipeline otherwise pays worker-process spin-up plus per-worker
+    # library imports (at 32 CPUs ~2-3 s) that later components in the
+    # same run never see — cluster startup is not throughput (same rule
+    # bench_extract_analyze already applies), and a fixed warmup makes
+    # component times comparable regardless of their position in
+    # --components. The 0.2 s sleep per batch forces the pool to scale to
+    # one resident worker per CPU; the core import warms the module cache
+    # each worker will need.
+    def _warm(b):
+        import time as _t
+
+        from raycrawl import core  # noqa: F401 — import cost is the point
+
+        _t.sleep(0.2)
+        return b
+
+    rd.range(num_cpus, override_num_blocks=num_cpus).map_batches(
+        _warm, batch_format="pyarrow"
+    ).count()
     if "extract" in components:
         r = bench_extract(corpus)
         queries["extract"] = round(r["sec"], 3)
