@@ -271,26 +271,53 @@ def _read_docs(sf_dir: str) -> rd.Dataset:
     )
 
 
+# Hybrid size dispatch for the banding bucket groupby (the
+# crawl.py `driver_round_threshold` pattern): the distributed all-to-all
+# costs a ~4-6 s fixed floor on this cluster regardless of data size —
+# measured 5.5 s for 80k band rows at sf0.1 — while the SAME bucket
+# logic over <=2M slim 16-byte rows (<=32 MB pulled) runs on the driver
+# in tens of ms. Above the threshold the banding shuffle is the scale
+# path. Bucket semantics (bkey function, per-bucket cap, dropped
+# markers) are byte-identical on both paths (equivalence-tested).
+BAND_ROWS_DRIVER_MAX = 2_000_000
+
+
 def _lsh_candidate_pairs(sigs: rd.Dataset) -> set[tuple[int, int]]:
-    """The MinHash-LSH banding shuffle: (bkey, doc_id)-only explode,
-    bkey-hash-partitioned bucket candidate generation, capped-bucket
-    truncation logged. Returns the deduped candidate id-pair set (bounded
-    by duplicate density — the only thing that reaches the driver)."""
-    banded = sigs.map_batches(band_explode_slim, batch_format="pyarrow").map_batches(
-        lambda t: t.append_column(
-            "part", pc.cast(
-                pc.bit_wise_and(t["bkey"], pa.scalar(_N_BUCKET_PARTS - 1, pa.uint64())),
-                pa.int32(),
-            )
-        ),
-        batch_format="pyarrow", zero_copy_batch=True,
-    )
-    pairs_ds = banded.groupby("part").map_groups(
-        _partition_candidate_pairs, batch_format="pandas"
-    )
+    """The MinHash-LSH banding step: (bkey, doc_id)-only explode, then
+    bucket candidate generation — driver-local below
+    BAND_ROWS_DRIVER_MAX band rows, bkey-hash-partitioned groupby above.
+    Capped-bucket truncation logged. Returns the deduped candidate
+    id-pair set (bounded by duplicate density — the only thing that
+    reaches the driver besides the slim band rows on the local path)."""
+    banded = sigs.map_batches(band_explode_slim, batch_format="pyarrow")
+    if sigs.count() * _BANDS <= BAND_ROWS_DRIVER_MAX:
+        # explode stays distributed; only the slim (bkey, doc_id) rows land
+        parts = [b.to_pandas() for b in banded.iter_batches(batch_format="pyarrow")]
+        rows = (
+            _partition_candidate_pairs(
+                pd.concat(parts, ignore_index=True)
+            ).to_dict("records")
+            if parts
+            else []
+        )
+    else:
+        banded = banded.map_batches(
+            lambda t: t.append_column(
+                "part", pc.cast(
+                    pc.bit_wise_and(
+                        t["bkey"], pa.scalar(_N_BUCKET_PARTS - 1, pa.uint64())
+                    ),
+                    pa.int32(),
+                )
+            ),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+        rows = banded.groupby("part").map_groups(
+            _partition_candidate_pairs, batch_format="pandas"
+        ).take_all()
     pairs = set()  # dedup pair list (bands can emit the same pair many times)
     dropped_cands = 0
-    for r in pairs_ds.take_all():
+    for r in rows:
         if r["dropped"]:  # capped-bucket marker (see _bucket_candidate_pairs)
             dropped_cands += int(r["dropped"])
         else:
@@ -433,10 +460,23 @@ def simhash_dedup(sf_dir: str, max_hamming: int = 3) -> rd.Dataset:
         )
 
     banded = sh.map_batches(explode, batch_format="pyarrow")
-    pairs_ds = banded.groupby("bkey").map_groups(
-        lambda g: _sim_bucket_pairs(g, max_hamming), batch_format="pandas"
-    )
-    pairs = {(int(r["a"]), int(r["b"])) for r in pairs_ds.take_all()}
+    if docs.count() * 4 <= BAND_ROWS_DRIVER_MAX:
+        # same hybrid dispatch as _lsh_candidate_pairs: skip the fixed
+        # all-to-all floor for slim band-row sets; identical bucket logic
+        parts = [b.to_pandas() for b in banded.iter_batches(batch_format="pyarrow")]
+        pairs = set()
+        if parts:
+            df = pd.concat(parts, ignore_index=True)
+            sizes = df.groupby("bkey")["doc_id"].transform("size")
+            multi = df[sizes >= 2]
+            for _, sub in multi.groupby("bkey", sort=False):
+                for r in _sim_bucket_pairs(sub, max_hamming).itertuples():
+                    pairs.add((int(r.a), int(r.b)))
+    else:
+        pairs_ds = banded.groupby("bkey").map_groups(
+            lambda g: _sim_bucket_pairs(g, max_hamming), batch_format="pandas"
+        )
+        pairs = {(int(r["a"]), int(r["b"])) for r in pairs_ds.take_all()}
     # drop set (bounded by dup density) broadcast as a distributed filter —
     # the full doc_id list never lands on the driver
     drop = _components_drop(sorted(pairs))

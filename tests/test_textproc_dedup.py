@@ -102,6 +102,50 @@ class TestSimHash:
         out = dedup.simhash_dedup(str(d))
         assert sorted(out.to_pandas()["doc_id"]) == [0, 2]
 
+    def test_banding_dispatch_paths_equivalent(
+        self, ray_session, tmp_path, monkeypatch
+    ):
+        """The driver-local and distributed banding-bucket paths (hybrid
+        size dispatch, BAND_ROWS_DRIVER_MAX) must produce identical kept
+        sets for minhash, jaccard, and simhash on a corpus with planted
+        near-dups, exact dups, and distinct docs."""
+        import pyarrow.parquet as pq
+
+        base = "the quick brown fox jumps over the lazy dog and runs far away " * 6
+        rows = {
+            "doc_id": list(range(6)),
+            "text": [
+                base,
+                base + " tiny tail",
+                "unrelated words entirely " * 12,
+                base,
+                "another distinct body of text about ray pipelines " * 8,
+                base.replace("lazy", "sleepy", 1),
+            ],
+        }
+        d = tmp_path / "docs"
+        d.mkdir()
+        pq.write_table(pa.table(rows), str(d / "documents.parquet"))
+
+        def kept_sets():
+            return {
+                "minhash": sorted(
+                    dedup.minhash_dedup(str(d), threshold=0.5).to_pandas()["doc_id"]
+                ),
+                "jaccard": sorted(
+                    dedup.jaccard_dedup(str(d), threshold=0.5).to_pandas()["doc_id"]
+                ),
+                "simhash": sorted(
+                    dedup.simhash_dedup(str(d)).to_pandas()["doc_id"]
+                ),
+            }
+
+        local = kept_sets()  # default threshold >> 6 docs -> driver-local
+        monkeypatch.setattr(dedup, "BAND_ROWS_DRIVER_MAX", 0)
+        dist = kept_sets()  # forced through the banding shuffle
+        assert local == dist
+        assert local["minhash"][0] == 0 and 2 in local["minhash"]
+
 
 class TestSimilarity:
     def test_ann_topk_matches_numpy_bruteforce(self, ray_session):
