@@ -336,7 +336,7 @@ def embedding_neardup(sf_dir: str, threshold: float = 0.97):
     density) is broadcast and applied as a distributed filter."""
     import pyarrow.parquet as pq
 
-    from raycrawl.dedup import _components_drop, _DropFilter
+    from raycrawl.dedup import _components_drop, _drop_in_fn
 
     path = os.path.join(sf_dir, "embeddings.parquet")
     full = pq.read_table(path, columns=["vec_id", "embedding"])
@@ -371,8 +371,8 @@ def embedding_neardup(sf_dir: str, threshold: float = 0.97):
     drop = _components_drop(pairs)
     dref = ray.put(pa.array(sorted(drop), pa.int64()))
     return rd.read_parquet(path, columns=["vec_id"]).map_batches(
-        _DropFilter, fn_constructor_args=(dref, "vec_id"),
-        batch_format="pyarrow", zero_copy_batch=True, concurrency=cpu_pool(),
+        _drop_in_fn(dref, "vec_id"),
+        batch_format="pyarrow", zero_copy_batch=True,
     )
 
 
@@ -391,7 +391,7 @@ def embedding_neardup_lsh(sf_dir: str, threshold: float = 0.97):
     variant remains the small-scale default)."""
     import pandas as pd
 
-    from raycrawl.dedup import _components_drop, _DropFilter
+    from raycrawl.dedup import _components_drop, _drop_in_fn
 
     path = os.path.join(sf_dir, "embeddings.parquet")
 
@@ -443,6 +443,6 @@ def embedding_neardup_lsh(sf_dir: str, threshold: float = 0.97):
     drop = _components_drop(sorted(pairs))
     dref = ray.put(pa.array(sorted(drop), pa.int64()))
     return rd.read_parquet(path, columns=["vec_id"]).map_batches(
-        _DropFilter, fn_constructor_args=(dref, "vec_id"),
-        batch_format="pyarrow", zero_copy_batch=True, concurrency=cpu_pool(),
+        _drop_in_fn(dref, "vec_id"),
+        batch_format="pyarrow", zero_copy_batch=True,
     )
