@@ -22,7 +22,7 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
-from raycrawl.ioutil import cpu_pool
+
 
 _HYPERPLANES = np.random.RandomState(1234).randn(16, 64)
 
@@ -49,17 +49,20 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / n
 
 
-class _TopKPartial:
+# ANN stages run as PLAIN TASKS (closures over the ray.put ref), not actor
+# pools: their only per-actor "setup" was fetching the broadcast query/
+# centroid arrays, which is a zero-copy plasma read per task (~µs), while
+# the autoscaling pool paid ~100 ms per actor spin-up (see the same
+# conversion in dedup.py — measured 3-7x on broadcast-state stages).
+
+
+def _topk_partial_fn(q_ref, k: int):
     """map_batches stage: per-batch exact cosine top-k candidates vs the
     broadcast query matrix."""
 
-    def __init__(self, q_ref, k: int):
-        q = ray.get(q_ref) if isinstance(q_ref, ray.ObjectRef) else q_ref
-        self.qids, qm = q
-        self.qm = _normalize(qm)  # (Q, D) float64
-        self.k = k
-
-    def __call__(self, t: pa.Table) -> pa.Table:
+    def fn(t: pa.Table) -> pa.Table:
+        qids, qm = ray.get(q_ref) if isinstance(q_ref, ray.ObjectRef) else q_ref
+        qm = _normalize(qm)  # (Q, D) float64
         if t.num_rows == 0:
             return pa.table(
                 {"query_id": pa.array([], pa.int64()),
@@ -68,10 +71,9 @@ class _TopKPartial:
             )
         vids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
         m = _normalize(_emb_matrix(t))
-        scores = m @ self.qm.T  # (B, Q)
+        scores = m @ qm.T  # (B, Q)
         out_q, out_n, out_s = [], [], []
-        k = self.k
-        for qi, qid in enumerate(self.qids):
+        for qi, qid in enumerate(qids):
             col = scores[:, qi]
             mask = vids != qid  # exclude self
             idx = np.flatnonzero(mask)
@@ -88,6 +90,8 @@ class _TopKPartial:
                 "score": pa.array(out_s, pa.float64()),
             }
         )
+
+    return fn
 
 
 def ann_topk(sf_dir: str, k: int = 5, n_queries: int = 10) -> pa.Table:
@@ -109,8 +113,8 @@ def ann_topk(sf_dir: str, k: int = 5, n_queries: int = 10) -> pa.Table:
 
     ds = rd.read_parquet(path, columns=["vec_id", "embedding"])
     cands = ds.map_batches(
-        _TopKPartial, fn_constructor_args=(q_ref, k),
-        batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8),
+        _topk_partial_fn(q_ref, k),
+        batch_format="pyarrow", zero_copy_batch=True,
     )
     # final merge: per query, global top-k from per-batch candidates (tiny)
     best: dict[int, list] = {}
@@ -156,45 +160,41 @@ def ann_topk_lsh(sf_dir: str, k: int = 5, n_queries: int = 10, probes: int = 4) 
     qb = _bucket_of(qm)
     q_ref = ray.put((qids, qm, qb))
 
-    class Stage:
-        def __init__(self, ref, k, probes):
-            self.qids, self.qm, self.qb = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
-            self.k, self.probes = k, probes
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            if t.num_rows == 0:
-                return pa.table(
-                    {"query_id": pa.array([], pa.int64()),
-                     "neighbor_id": pa.array([], pa.int64()),
-                     "score": pa.array([], pa.float64())}
-                )
-            vids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
-            m = _normalize(_emb_matrix(t))
-            vb = _bucket_of(m)
-            out_q, out_n, out_s = [], [], []
-            for qi, qid in enumerate(self.qids):
-                ham = np.array([bin(int(v ^ self.qb[qi])).count("1") for v in vb])
-                mask = (ham <= self.probes) & (vids != qid)
-                idx = np.flatnonzero(mask)
-                if idx.size == 0:
-                    continue
-                col = m[idx] @ self.qm[qi]
-                take = np.argsort(-col, kind="stable")[: self.k]
-                out_q.extend([qid] * len(take))
-                out_n.extend(vids[idx][take].tolist())
-                out_s.extend(col[take].tolist())
+    def stage(t: pa.Table, _ref=q_ref) -> pa.Table:
+        # plain task: the broadcast fetch is a zero-copy plasma read
+        qids_, qm_, qb_ = ray.get(_ref) if isinstance(_ref, ray.ObjectRef) else _ref
+        if t.num_rows == 0:
             return pa.table(
-                {
-                    "query_id": pa.array(out_q, pa.int64()),
-                    "neighbor_id": pa.array(out_n, pa.int64()),
-                    "score": pa.array(out_s, pa.float64()),
-                }
+                {"query_id": pa.array([], pa.int64()),
+                 "neighbor_id": pa.array([], pa.int64()),
+                 "score": pa.array([], pa.float64())}
             )
+        vids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+        m = _normalize(_emb_matrix(t))
+        vb = _bucket_of(m)
+        out_q, out_n, out_s = [], [], []
+        for qi, qid in enumerate(qids_):
+            ham = np.array([bin(int(v ^ qb_[qi])).count("1") for v in vb])
+            mask = (ham <= probes) & (vids != qid)
+            idx = np.flatnonzero(mask)
+            if idx.size == 0:
+                continue
+            col = m[idx] @ qm_[qi]
+            take = np.argsort(-col, kind="stable")[: k]
+            out_q.extend([qid] * len(take))
+            out_n.extend(vids[idx][take].tolist())
+            out_s.extend(col[take].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "score": pa.array(out_s, pa.float64()),
+            }
+        )
 
     ds = rd.read_parquet(path, columns=["vec_id", "embedding"])
     cands = ds.map_batches(
-        Stage, fn_constructor_args=(q_ref, k, probes),
-        batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8),
+        stage, batch_format="pyarrow", zero_copy_batch=True,
     )
     best: dict[int, list] = {}
     for b in cands.iter_batches(batch_format="pyarrow"):
@@ -266,46 +266,42 @@ def ann_topk_ivf(
     qcells = np.argsort(-(qm @ cents.T), axis=1)[:, :n_probe]
     ref = ray.put((qids, qm, qcells, cents))
 
-    class Stage:
-        def __init__(self, r, k):
-            self.qids, self.qm, self.qcells, self.cents = (
-                ray.get(r) if isinstance(r, ray.ObjectRef) else r
-            )
-            self.k = k
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            if t.num_rows == 0:
-                return pa.table(
-                    {"query_id": pa.array([], pa.int64()),
-                     "neighbor_id": pa.array([], pa.int64()),
-                     "score": pa.array([], pa.float64())}
-                )
-            vids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
-            m = _normalize(_emb_matrix(t))
-            cell = np.argmax(m @ self.cents.T, axis=1)
-            out_q, out_n, out_s = [], [], []
-            for qi, qid in enumerate(self.qids):
-                mask = np.isin(cell, self.qcells[qi]) & (vids != qid)
-                idx = np.flatnonzero(mask)
-                if idx.size == 0:
-                    continue
-                col = m[idx] @ self.qm[qi]
-                take = np.argsort(-col, kind="stable")[: self.k]
-                out_q.extend([qid] * len(take))
-                out_n.extend(vids[idx][take].tolist())
-                out_s.extend(col[take].tolist())
+    def stage(t: pa.Table, _ref=ref) -> pa.Table:
+        # plain task: the broadcast fetch is a zero-copy plasma read
+        qids_, qm_, qcells_, cents_ = (
+            ray.get(_ref) if isinstance(_ref, ray.ObjectRef) else _ref
+        )
+        if t.num_rows == 0:
             return pa.table(
-                {
-                    "query_id": pa.array(out_q, pa.int64()),
-                    "neighbor_id": pa.array(out_n, pa.int64()),
-                    "score": pa.array(out_s, pa.float64()),
-                }
+                {"query_id": pa.array([], pa.int64()),
+                 "neighbor_id": pa.array([], pa.int64()),
+                 "score": pa.array([], pa.float64())}
             )
+        vids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+        m = _normalize(_emb_matrix(t))
+        cell = np.argmax(m @ cents_.T, axis=1)
+        out_q, out_n, out_s = [], [], []
+        for qi, qid in enumerate(qids_):
+            mask = np.isin(cell, qcells_[qi]) & (vids != qid)
+            idx = np.flatnonzero(mask)
+            if idx.size == 0:
+                continue
+            col = m[idx] @ qm_[qi]
+            take = np.argsort(-col, kind="stable")[: k]
+            out_q.extend([qid] * len(take))
+            out_n.extend(vids[idx][take].tolist())
+            out_s.extend(col[take].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "score": pa.array(out_s, pa.float64()),
+            }
+        )
 
     ds = rd.read_parquet(path, columns=["vec_id", "embedding"])
     cands = ds.map_batches(
-        Stage, fn_constructor_args=(ref, k),
-        batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8),
+        stage, batch_format="pyarrow", zero_copy_batch=True,
     )
     best: dict[int, list] = {}
     for b in cands.iter_batches(batch_format="pyarrow"):
@@ -344,28 +340,24 @@ def embedding_neardup(sf_dir: str, threshold: float = 0.97):
     m = _normalize(_emb_matrix(full))
     ref = ray.put((ids, m))
 
-    class Pairs:
-        def __init__(self, r, th):
-            self.ids, self.m = ray.get(r) if isinstance(r, ray.ObjectRef) else r
-            self.th = th
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            vids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
-            bm = _normalize(_emb_matrix(t))
-            s = bm @ self.m.T
-            a_out, b_out = [], []
-            for i, vid in enumerate(vids):
-                js = np.flatnonzero((s[i] >= self.th) & (self.ids > vid))
-                a_out.extend([int(vid)] * len(js))
-                b_out.extend(self.ids[js].tolist())
-            return pa.table(
-                {"a": pa.array(a_out, pa.int64()), "b": pa.array(b_out, pa.int64())}
-            )
+    def pairs_fn(t: pa.Table, _ref=ref) -> pa.Table:
+        # plain task: the corpus-matrix fetch is a zero-copy plasma read
+        ids_, m_ = ray.get(_ref) if isinstance(_ref, ray.ObjectRef) else _ref
+        vids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+        bm = _normalize(_emb_matrix(t))
+        s = bm @ m_.T
+        a_out, b_out = [], []
+        for i, vid in enumerate(vids):
+            js = np.flatnonzero((s[i] >= threshold) & (ids_ > vid))
+            a_out.extend([int(vid)] * len(js))
+            b_out.extend(ids_[js].tolist())
+        return pa.table(
+            {"a": pa.array(a_out, pa.int64()), "b": pa.array(b_out, pa.int64())}
+        )
 
     ds = rd.read_parquet(path, columns=["vec_id", "embedding"])
     pairs_ds = ds.map_batches(
-        Pairs, fn_constructor_args=(ref, threshold),
-        batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8),
+        pairs_fn, batch_format="pyarrow", zero_copy_batch=True,
     )
     pairs = [(r["a"], r["b"]) for r in pairs_ds.take_all()]
     drop = _components_drop(pairs)
