@@ -140,37 +140,45 @@ def line_explode_slim(t: pa.Table) -> pa.Table:
     )
 
 
-class _LineDedupRewrite:
-    """map_batches stage: re-split each doc, drop every duplicated-line
+def _sorted_winners_ref(hashes, occs):
+    """ray.put the winner probe arrays PRE-SORTED by hash (once, on the
+    driver) so the rewrite tasks' per-task fetch is a pure zero-copy
+    plasma read with no per-task argsort."""
+    hashes = np.asarray(hashes, dtype=np.int64)
+    occs = np.asarray(occs, dtype=np.int64)
+    order = np.argsort(hashes)
+    return ray.put((hashes[order], occs[order]))
+
+
+def _line_dedup_rewrite_fn(winners_ref, gate=None):
+    """map_batches stage (plain task — the winner fetch is a zero-copy
+    plasma read; see dedup.py on why tasks beat actor pools for
+    broadcast-only state): re-split each doc, drop every duplicated-line
     occurrence that is not its global winner, reassemble in place — all
     vectorized (batched hash + searchsorted winner probe + binary_join
-    reassembly). The winner table (duplicated distinct lines only) ships
-    via ray.put once and is sorted into probe arrays per actor, not per
-    batch. An optional `gate` filter is fused in front (see
-    `dedup_lines_ds` on why fusing beats an upstream filter stage)."""
+    reassembly). `winners_ref` must hold HASH-SORTED probe arrays (use
+    `_sorted_winners_ref`). An optional `gate` filter is fused in front
+    (see `dedup_lines_ds` on why fusing beats an upstream filter
+    stage)."""
 
-    def __init__(self, winners_ref, gate=None) -> None:
-        w = ray.get(winners_ref) if isinstance(winners_ref, ray.ObjectRef) else winners_ref
-        hashes = np.asarray(w[0], dtype=np.int64)
-        occs = np.asarray(w[1], dtype=np.int64)
-        order = np.argsort(hashes)
-        self.win_hash = hashes[order]
-        self.win_occ = occs[order]
-        self.gate = gate
-
-    def __call__(self, t: pa.Table) -> pa.Table:
-        if self.gate is not None:
-            t = self.gate(t)
+    def fn(t: pa.Table) -> pa.Table:
+        win_hash, win_occ = (
+            ray.get(winners_ref)
+            if isinstance(winners_ref, ray.ObjectRef)
+            else winners_ref
+        )
+        if gate is not None:
+            t = gate(t)
         flat, counts, _starts, rep_ids, line_idx = _doc_lines(t)
         drop = np.zeros(len(flat), dtype=bool)
-        if len(self.win_hash) and len(flat):
+        if len(win_hash) and len(flat):
             rel = ~_ws_only_mask(flat)
             hashes = _line_hash_batch(flat)
-            idx = np.searchsorted(self.win_hash, hashes)
-            idx[idx == len(self.win_hash)] = 0
-            found = self.win_hash[idx] == hashes
+            idx = np.searchsorted(win_hash, hashes)
+            idx[idx == len(win_hash)] = 0
+            found = win_hash[idx] == hashes
             occ = (rep_ids << _OCC_SHIFT) | line_idx
-            drop = rel & found & (self.win_occ[idx] != occ)
+            drop = rel & found & (win_occ[idx] != occ)
         kept_flat = flat.filter(pa.array(~drop))
         ndocs = t.num_rows
         dropped_per_doc = (
@@ -191,6 +199,8 @@ class _LineDedupRewrite:
                 "n_dropped": pa.array(dropped_per_doc, pa.int64()),
             }
         )
+
+    return fn
 
 
 # Hybrid size dispatch (same pattern as crawl.py's expansion dispatch):
@@ -239,18 +249,14 @@ def dedup_lines_ds(
         # Broadcast path: winner map ships once via ray.put, rewrite is a
         # single streaming pass re-probing each line's pinned hash.
         rows = dup.take_all()
-        winners_ref = ray.put(
-            (
-                np.array([r["line_hash"] for r in rows], dtype=np.int64),
-                np.array([r["min(occ_key)"] for r in rows], dtype=np.int64),
-            )
+        winners_ref = _sorted_winners_ref(
+            np.array([r["line_hash"] for r in rows], dtype=np.int64),
+            np.array([r["min(occ_key)"] for r in rows], dtype=np.int64),
         )
         return docs.map_batches(
-            _LineDedupRewrite,
-            fn_constructor_args=(winners_ref, gate),
+            _line_dedup_rewrite_fn(winners_ref, gate),
             batch_format="pyarrow",
             zero_copy_batch=True,
-            concurrency=(1, int(ray.cluster_resources().get("CPU", 8))),
         )
     return _dedup_lines_join_path(docs, dup, gate)
 
@@ -560,32 +566,31 @@ def _distinct_per_doc(gdoc: np.ndarray, gh: np.ndarray):
     return d_s[first], h_s[first]
 
 
-class _ContamScan:
-    """map_batches stage: distinct word-8-gram overlap count against the
-    broadcast benchmark gram set (sorted-array searchsorted probe). With
-    `gate=True` it instead FILTERS the batch to overlap-free rows (all
-    input columns preserved) for use inside composite pipelines.
-    Vectorized end to end — no per-row or per-gram Python."""
+def _contam_scan_fn(grams_ref, gate: bool = False):
+    """map_batches stage (plain task — the gram-set fetch is a zero-copy
+    plasma read of an already-sorted array): distinct word-8-gram overlap
+    count against the broadcast benchmark gram set (sorted-array
+    searchsorted probe). With `gate=True` it instead FILTERS the batch to
+    overlap-free rows (all input columns preserved) for use inside
+    composite pipelines. Vectorized end to end — no per-row or per-gram
+    Python."""
 
-    def __init__(self, grams_ref, gate: bool = False) -> None:
+    def fn(t: pa.Table) -> pa.Table:
         g = ray.get(grams_ref) if isinstance(grams_ref, ray.ObjectRef) else grams_ref
-        self.grams = np.asarray(g, dtype=np.int64)  # sorted
-        self.gate = gate
-
-    def __call__(self, t: pa.Table) -> pa.Table:
+        grams = np.asarray(g, dtype=np.int64)  # sorted
         n_overlap = np.zeros(t.num_rows, dtype=np.int64)
-        if len(self.grams):
+        if len(grams):
             gdoc, gh = _gram_hash_arrays(t)
             if len(gh):
                 gdoc, gh = _distinct_per_doc(gdoc, gh)
-                idx = np.searchsorted(self.grams, gh)
-                idx[idx == len(self.grams)] = 0
-                hit = self.grams[idx] == gh
+                idx = np.searchsorted(grams, gh)
+                idx[idx == len(grams)] = 0
+                hit = grams[idx] == gh
                 n_overlap = np.bincount(
                     gdoc[hit], minlength=t.num_rows
                 ).astype(np.int64)
         ov = pa.array(n_overlap, pa.int64())
-        if self.gate:
+        if gate:
             return t.filter(pc.equal(ov, 0))
         return pa.table(
             {
@@ -594,6 +599,8 @@ class _ContamScan:
                 "contaminated": pc.cast(pc.greater(ov, 0), pa.int64()),
             }
         )
+
+    return fn
 
 
 def _bench_grams_ref(sf_dir: str):
@@ -618,11 +625,9 @@ def decontaminate(sf_dir: str) -> rd.Dataset:
     table scan, and the gram set broadcasts once."""
     grams_ref = _bench_grams_ref(sf_dir)
     return _read_docs(sf_dir).map_batches(
-        _ContamScan,
-        fn_constructor_args=(grams_ref,),
+        _contam_scan_fn(grams_ref),
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=(1, int(ray.cluster_resources().get("CPU", 8))),
     )
 
 
@@ -706,11 +711,9 @@ def curate_corpus(sf_dir: str) -> rd.Dataset:
     # — a lazy upstream stage re-executes once per consumer anyway.
     deduped = dedup_lines_ds(_read_docs(sf_dir), gate=gopher_gate)
     clean = deduped.map_batches(
-        _ContamScan,
-        fn_constructor_args=(grams_ref, True),
+        _contam_scan_fn(grams_ref, True),
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=(1, int(ray.cluster_resources().get("CPU", 8))),
     )
     return clean.map_batches(
         _curate_finalize, batch_format="pyarrow", zero_copy_batch=True

@@ -146,11 +146,9 @@ def curate_to_parquet(
     broadcast = n_winners <= curate.LINE_DEDUP_DRIVER_MAX
     if broadcast:
         wt = pq.read_table(win_dir)  # bounded by the dispatch threshold
-        winners_ref = ray.put(
-            (
-                wt["line_hash"].to_numpy(zero_copy_only=False).astype(np.int64),
-                wt["min(occ_key)"].to_numpy(zero_copy_only=False).astype(np.int64),
-            )
+        winners_ref = curate._sorted_winners_ref(
+            wt["line_hash"].to_numpy(zero_copy_only=False).astype(np.int64),
+            wt["min(occ_key)"].to_numpy(zero_copy_only=False).astype(np.int64),
         )
 
     parts = _parts(files, files_per_part)
@@ -169,22 +167,18 @@ def curate_to_parquet(
         )
         if broadcast:
             deduped = docs.map_batches(
-                curate._LineDedupRewrite,
-                fn_constructor_args=(winners_ref, curate.gopher_gate),
+                curate._line_dedup_rewrite_fn(winners_ref, curate.gopher_gate),
                 batch_format="pyarrow",
                 zero_copy_batch=True,
-                concurrency=(1, ncpu),
             )
         else:
             deduped = curate._dedup_lines_join_path(
                 docs, rd.read_parquet(win_files), curate.gopher_gate
             )
         clean = deduped.map_batches(
-            curate._ContamScan,
-            fn_constructor_args=(grams_ref, True),
+            curate._contam_scan_fn(grams_ref, True),
             batch_format="pyarrow",
             zero_copy_batch=True,
-            concurrency=(1, ncpu),
         )
         out = clean.map_batches(
             curate._curate_finalize, batch_format="pyarrow", zero_copy_batch=True

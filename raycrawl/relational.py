@@ -28,7 +28,6 @@ import ray.data as rd
 
 from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
-from raycrawl.ioutil import cpu_pool
 
 from raycrawl import core
 
@@ -263,19 +262,17 @@ def q_broadcast_join(sf_dir: str):
     nat = pq_mod.read_table(os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_name"])
     ref = ray.put((nat["n_nationkey"].combine_chunks(), nat["n_name"].combine_chunks()))
 
-    class Attach:
-        def __init__(self, r):
-            self.keys, self.names = ray.get(r) if isinstance(r, ray.ObjectRef) else r
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            pos = pc.index_in(t["c_nationkey"], value_set=self.keys)
-            return pa.table(
-                {"c_custkey": t["c_custkey"], "n_name": self.names.take(pos)}
-            )
+    def attach(t: pa.Table, _r=ref) -> pa.Table:
+        # plain task: the dimension fetch is a zero-copy plasma read per
+        # task (~µs); an actor pool would pay per-actor spin-up instead
+        keys, names = ray.get(_r) if isinstance(_r, ray.ObjectRef) else _r
+        pos = pc.index_in(t["c_nationkey"], value_set=keys)
+        return pa.table(
+            {"c_custkey": t["c_custkey"], "n_name": names.take(pos)}
+        )
 
     return _pq(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
-        Attach, fn_constructor_args=(ref,), batch_format="pyarrow",
-        zero_copy_batch=True, concurrency=cpu_pool(),
+        attach, batch_format="pyarrow", zero_copy_batch=True,
     )
 
 
@@ -384,19 +381,14 @@ def q_pipeline_topk(sf_dir: str):
     ].combine_chunks()
     bref = ray.put(building)
 
-    class SemiFilter:
-        """Broadcast semi-join filter: key set fetched ONCE per actor in
-        __init__, membership tested with a vectorized pc.is_in per batch."""
-
-        def __init__(self, r):
-            self.keys = ray.get(r) if isinstance(r, ray.ObjectRef) else r
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            return t.filter(pc.is_in(t["o_custkey"], value_set=self.keys))
+    def semi_filter(t: pa.Table, _r=bref) -> pa.Table:
+        """Broadcast semi-join filter (plain task — the key-set fetch is a
+        zero-copy plasma read), membership via vectorized pc.is_in."""
+        keys = ray.get(_r) if isinstance(_r, ray.ObjectRef) else _r
+        return t.filter(pc.is_in(t["o_custkey"], value_set=keys))
 
     orders = _pq(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
-        SemiFilter, fn_constructor_args=(bref,),
-        batch_format="pyarrow", zero_copy_batch=True, concurrency=cpu_pool(),
+        semi_filter, batch_format="pyarrow", zero_copy_batch=True,
     )
     li = _pq(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
     joined = li.join(orders, "inner", num_partitions=8, on=("l_orderkey",), right_on=("o_orderkey",))
@@ -436,20 +428,17 @@ def q_pipeline_nation_rollup(sf_dir: str):
     orders = _pq(sf_dir, "orders", ["o_orderkey", "o_custkey"])
     joined = li.join(orders, "inner", num_partitions=8, on=("l_orderkey",), right_on=("o_orderkey",))
 
-    class AttachNation:
-        def __init__(self, r):
-            self.keys, self.names = ray.get(r) if isinstance(r, ray.ObjectRef) else r
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            pos = pc.index_in(t["o_custkey"], value_set=self.keys)
-            return pa.table(
-                {"n_name": self.names.take(pos), "l_quantity": t["l_quantity"]}
-            )
+    def attach_nation(t: pa.Table, _r=cref) -> pa.Table:
+        # plain task; see q_broadcast_join
+        keys, names = ray.get(_r) if isinstance(_r, ray.ObjectRef) else _r
+        pos = pc.index_in(t["o_custkey"], value_set=keys)
+        return pa.table(
+            {"n_name": names.take(pos), "l_quantity": t["l_quantity"]}
+        )
 
     return (
         joined.map_batches(
-            AttachNation, fn_constructor_args=(cref,),
-            batch_format="pyarrow", zero_copy_batch=True, concurrency=cpu_pool(),
+            attach_nation, batch_format="pyarrow", zero_copy_batch=True,
         )
         .groupby("n_name")
         .aggregate(Count(alias_name="n"), Sum("l_quantity", alias_name="sum_qty"))

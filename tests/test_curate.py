@@ -471,7 +471,7 @@ class TestVectorizedKernels:
                 "text": pa.array(texts, pa.string()),
             }
         )
-        out = curate._ContamScan(grams)(t)
+        out = curate._contam_scan_fn(grams)(t)
 
         bench_tuples = {
             tuple(bench_words[i : i + n])
