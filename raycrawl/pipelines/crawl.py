@@ -954,9 +954,15 @@ def run_crawl_ray(
                     lambda t: _visit_rows_batch(t, rnd, 200, uas),
                     batch_format="pyarrow",
                 )
-                visit_ok.write_parquet(vdir)
+                # Coalesce sink files: politeness-bounded rounds produce a
+                # few thousand rows spread over 4-8x-ncpu upstream blocks;
+                # without a floor each block writes its own tiny parquet (79
+                # files for 197 round-0 visits measured) and the sink pays
+                # per-file task/IO overhead. 64k rows/file keeps resumable
+                # round-partitioned output while bounding file count.
+                visit_ok.write_parquet(vdir, min_rows_per_file=65536)
                 if miss_visits is not None:  # join path: distributed sink
-                    miss_visits.write_parquet(vdir)
+                    miss_visits.write_parquet(vdir, min_rows_per_file=65536)
                 elif miss_tbl is not None and miss_tbl.num_rows:
                     pq.write_table(
                         _visit_rows_batch(miss_tbl, rnd, 404, uas),
@@ -977,7 +983,7 @@ def run_crawl_ray(
                     ))(t.filter(t["is_html"])),
                     batch_format="pyarrow",
                 )
-                extracted.write_parquet(edir)
+                extracted.write_parquet(edir, min_rows_per_file=65536)
 
                 if site_registry:
                     # -- entities sink (M7/ST4 celitedev layer) -------
@@ -985,7 +991,7 @@ def run_crawl_ray(
                     os.makedirs(endir, exist_ok=True)
                     parsed.map_batches(
                         lambda t: _explode_entities(t, rnd), batch_format="pyarrow"
-                    ).write_parquet(endir)
+                    ).write_parquet(endir, min_rows_per_file=65536)
 
                 _lap("sinks_visits_extracted")
                 # -- frontier expansion ---------------------------------------
@@ -1132,7 +1138,9 @@ def run_crawl_ray(
                         os.path.join(sdir, "part-0.parquet"),
                     )
                 else:
-                    accepted.select_columns(["url_hash"]).write_parquet(sdir)
+                    accepted.select_columns(["url_hash"]).write_parquet(
+                        sdir, min_rows_per_file=65536
+                    )
 
                 # -- next frontier (S6) ---------------------------------------
                 nfdir = os.path.join(out_dir, f"frontier/round={rnd + 1}")
@@ -1149,7 +1157,7 @@ def run_crawl_ray(
                             )
                         )
                     )
-                next_frontier.write_parquet(nfdir)
+                next_frontier.write_parquet(nfdir, min_rows_per_file=65536)
                 # carry + deferred == frontier - taken (no extra pass needed)
                 c["carryover"] = n_frontier - c["taken"]
 
