@@ -307,8 +307,15 @@ def _lsh_candidate_pairs(sigs: rd.Dataset) -> set[tuple[int, int]]:
     reaches the driver besides the slim band rows on the local path)."""
     banded = sigs.map_batches(band_explode_slim, batch_format="pyarrow")
     if sigs.count() * _BANDS <= BAND_ROWS_DRIVER_MAX:
-        # explode stays distributed; only the slim (bkey, doc_id) rows land
-        parts = [b.to_pandas() for b in banded.iter_batches(batch_format="pyarrow")]
+        # explode stays distributed; only the slim (bkey, doc_id) rows land.
+        # Guard the zero-column leak: Ray skips map UDFs on 0-row blocks,
+        # which then surface here as COLUMN-LESS frames (CLAUDE.md
+        # invariant) — drop them before the concat/groupby.
+        parts = [
+            b.to_pandas()
+            for b in banded.iter_batches(batch_format="pyarrow")
+            if b.num_rows and "bkey" in b.column_names
+        ]
         rows = (
             _partition_candidate_pairs(
                 pd.concat(parts, ignore_index=True)
@@ -472,7 +479,11 @@ def simhash_dedup(sf_dir: str, max_hamming: int = 3) -> rd.Dataset:
     if docs.count() * 4 <= BAND_ROWS_DRIVER_MAX:
         # same hybrid dispatch as _lsh_candidate_pairs: skip the fixed
         # all-to-all floor for slim band-row sets; identical bucket logic
-        parts = [b.to_pandas() for b in banded.iter_batches(batch_format="pyarrow")]
+        parts = [
+            b.to_pandas()
+            for b in banded.iter_batches(batch_format="pyarrow")
+            if b.num_rows and "bkey" in b.column_names
+        ]  # zero-column leak guard — see _lsh_candidate_pairs
         pairs = set()
         if parts:
             df = pd.concat(parts, ignore_index=True)
