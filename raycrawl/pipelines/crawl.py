@@ -365,13 +365,39 @@ def _explode_links(t: pa.Table, cfg: CrawlConfig, rnd: int) -> pa.Table:
     return pa.table({k: pa.array(v, FRONTIER_SCHEMA.field(k).type) for k, v in out.items()})
 
 
+_DEDUP_PARTS = 256  # url_hash-hash partitions for the distributed dedup
+
+
+def _append_dedup_part(t: pa.Table) -> pa.Table:
+    """Partition key for the D1 shuffle: url_hash % _DEDUP_PARTS. Grouping
+    by the partition instead of the raw url_hash pays _DEDUP_PARTS Python
+    calls instead of one per unique URL (the dedup.py banding pattern —
+    at the 10^10-URL design point per-group calls are the bottleneck, not
+    the shuffle). Zero-column blocks (skipped explode UDFs on 0-row
+    inputs) pass through untouched, as they did into the old groupby."""
+    if t.num_columns == 0:
+        return t
+    return t.append_column(
+        "part",
+        pc.cast(
+            pc.bit_wise_and(t["url_hash"], pa.scalar(_DEDUP_PARTS - 1, pa.uint64())),
+            pa.int32(),
+        ),
+    )
+
+
 def _dedup_keep_min_n(g: pd.DataFrame) -> pd.DataFrame:
-    """D1 + group size: the surviving row carries `group_n` so the
-    `discovered` counter falls out of the deduped set without a separate
-    pass over the candidates."""
-    out = g.sort_values(["priority", "seq"], kind="mergesort").head(1).copy()
-    out["group_n"] = len(g)
-    return out
+    """D1 + group size over ONE url_hash partition: per url_hash keep the
+    min-(priority, seq) row (stable sort + first-per-key — identical
+    selection to a per-group head(1)); the surviving row carries
+    `group_n` so the `discovered` counter falls out of the deduped set
+    without a separate pass over the candidates."""
+    g = g.sort_values(["url_hash", "priority", "seq"], kind="mergesort")
+    first = ~g["url_hash"].duplicated()
+    sizes = g.groupby("url_hash", sort=False)["url_hash"].transform("size")
+    out = g[first].copy()
+    out["group_n"] = sizes[first].to_numpy()
+    return out.drop(columns=["part"])
 
 
 def make_robots_seen_flagger(rules_ref, seen):
@@ -1051,7 +1077,11 @@ def run_crawl_ray(
                         parsed.map_batches(
                             lambda t: _explode_links(t, cfg, rnd), batch_format="pyarrow"
                         )
-                        .groupby("url_hash")
+                        .map_batches(
+                            _append_dedup_part,
+                            batch_format="pyarrow", zero_copy_batch=True,
+                        )
+                        .groupby("part")
                         .map_groups(_dedup_keep_min_n, batch_format="pandas")
                         .map_batches(
                             make_robots_seen_flagger(rules_ref, seen),

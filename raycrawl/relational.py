@@ -329,16 +329,36 @@ def q_host_topk(sf_dir: str):
 
 def q_group_headn(sf_dir: str):
     """O5 per-group head-n (the politeness-quota shape): newest 3 orders
-    per customer."""
+    per customer. Partition-wise (the dedup.py banding pattern): grouping
+    by `custkey % P` pays P Python calls instead of one per customer
+    (~10k at sf0.1), and the per-customer head-3 inside each partition is
+    one stable sort + vectorized cumcount — identical selection to a
+    per-customer sort_values().head(3)."""
+    _P = 64
 
-    def head3(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["o_orderdate", "o_orderkey"], ascending=[False, True], kind="mergesort")
-        return g.head(3)[["o_orderkey", "o_custkey"]]
+    def add_part(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "part",
+            pc.cast(
+                pc.bit_wise_and(t["o_custkey"], pa.scalar(_P - 1, pa.int64())),
+                pa.int32(),
+            ),
+        )
+
+    def head3_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["o_custkey", "o_orderdate", "o_orderkey"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        keep = g.groupby("o_custkey", sort=False).cumcount() < 3
+        return g.loc[keep, ["o_orderkey", "o_custkey"]]
 
     return (
         _pq(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
-        .groupby("o_custkey")
-        .map_groups(head3, batch_format="pandas")
+        .map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(head3_part, batch_format="pandas")
     )
 
 
