@@ -280,16 +280,39 @@ def q_asof_latest(sf_dir: str):
     """J5 as-of: latest event per user (grouped argmax with pinned
     tie-break (ts desc, event_id desc))."""
 
-    def latest(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], ascending=[False, False], kind="mergesort")
+    _P = 64
+
+    def add_part(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "part",
+            pc.cast(
+                pc.bit_wise_and(t["user_id"], pa.scalar(_P - 1, pa.int64())),
+                pa.int32(),
+            ),
+        )
+
+    def latest_part(g: pd.DataFrame) -> pd.DataFrame:
+        # partition-wise (one Python call per partition, not per user):
+        # stable sort + first-per-user == per-user argmax with the same
+        # pinned tie-break
+        g = g.sort_values(
+            ["user_id", "ts", "event_id"],
+            ascending=[True, False, False],
+            kind="mergesort",
+        )
+        out = g[~g["user_id"].duplicated()]
         return pd.DataFrame(
-            {"user_id": [g["user_id"].iat[0]], "last_event_id": [g["event_id"].iat[0]]}
+            {
+                "user_id": out["user_id"].to_numpy(),
+                "last_event_id": out["event_id"].to_numpy(),
+            }
         )
 
     return (
         _pq(sf_dir, "events", ["user_id", "event_id", "ts"])
-        .groupby("user_id")
-        .map_groups(latest, batch_format="pandas")
+        .map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(latest_part, batch_format="pandas")
     )
 
 
