@@ -445,6 +445,26 @@ def _sim_bucket_pairs(g: pd.DataFrame, max_hamming: int) -> pd.DataFrame:
     return pd.DataFrame({"a": a_out, "b": b_out}, dtype="int64")
 
 
+def _sim_partition_pairs(g: pd.DataFrame, max_hamming: int) -> pd.DataFrame:
+    """Verified SimHash pairs for ONE bkey(-hash-partition) frame: the
+    singleton kill is a vectorized transform and only multi-occupancy
+    buckets reach the pairwise hamming loop — shared by the driver-local
+    path (whole band-row set = one partition) and the distributed
+    partition-wise map_groups, so both paths run identical bucket logic."""
+    sizes = g.groupby("bkey")["doc_id"].transform("size")
+    multi = g[sizes >= 2]
+    if multi.empty:
+        return pd.DataFrame({"a": [], "b": []}, dtype="int64")
+    frames = [
+        _sim_bucket_pairs(sub, max_hamming)
+        for _, sub in multi.groupby("bkey", sort=False)
+    ]
+    frames = [f for f in frames if len(f)]
+    if not frames:
+        return pd.DataFrame({"a": [], "b": []}, dtype="int64")
+    return pd.concat(frames, ignore_index=True)
+
+
 def simhash_dedup(sf_dir: str, max_hamming: int = 3) -> rd.Dataset:
     """SimHash near-dup: 4x16-bit band buckets (any pair within hamming<=3
     shares at least one exact 16-bit band by pigeonhole), verified by true
@@ -487,14 +507,25 @@ def simhash_dedup(sf_dir: str, max_hamming: int = 3) -> rd.Dataset:
         pairs = set()
         if parts:
             df = pd.concat(parts, ignore_index=True)
-            sizes = df.groupby("bkey")["doc_id"].transform("size")
-            multi = df[sizes >= 2]
-            for _, sub in multi.groupby("bkey", sort=False):
-                for r in _sim_bucket_pairs(sub, max_hamming).itertuples():
-                    pairs.add((int(r.a), int(r.b)))
+            for r in _sim_partition_pairs(df, max_hamming).itertuples():
+                pairs.add((int(r.a), int(r.b)))
     else:
-        pairs_ds = banded.groupby("bkey").map_groups(
-            lambda g: _sim_bucket_pairs(g, max_hamming), batch_format="pandas"
+        # partition-wise, not per-bucket: groupby(bkey).map_groups would pay
+        # one Python pandas call per band bucket (~4x corpus size, mostly
+        # singletons); bkey%P gives P calls with the same bucket logic
+        banded = banded.map_batches(
+            lambda t: t.append_column(
+                "part", pc.cast(
+                    pc.bit_wise_and(
+                        t["bkey"], pa.scalar(_N_BUCKET_PARTS - 1, pa.int64())
+                    ),
+                    pa.int32(),
+                )
+            ),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+        pairs_ds = banded.groupby("part").map_groups(
+            lambda g: _sim_partition_pairs(g, max_hamming), batch_format="pandas"
         )
         pairs = {(int(r["a"]), int(r["b"])) for r in pairs_ds.take_all()}
     # drop set (bounded by dup density) broadcast as a distributed filter —
@@ -519,17 +550,30 @@ def exact_dup_drop_ids(sf_dir: str) -> set[int]:
         hs = [core.url_hash(x) & ((1 << 63) - 1) for x in t["text"].to_pylist()]
         return pa.table({"doc_id": t["doc_id"], "h": pa.array(hs, pa.int64())})
 
-    def non_min(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"doc_id": []}, dtype="int64")
-        m = g["doc_id"].min()
-        return g[g["doc_id"] != m][["doc_id"]]
+    def non_min_part(g: pd.DataFrame) -> pd.DataFrame:
+        """Non-min ids for ONE h-hash partition (partition-wise, not
+        per-hash-group: one Python call per partition instead of one per
+        distinct text). Sort by (h, doc_id) then drop the first row per h
+        == drop the min doc_id per content hash — identical selection."""
+        g = g.sort_values(["h", "doc_id"], kind="mergesort")
+        return g[g["h"].duplicated()][["doc_id"]]
 
     ds = (
         rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
         .map_batches(hash_text, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("h")
-        .map_groups(non_min, batch_format="pandas")
+        .map_batches(
+            lambda t: t.append_column(
+                "part", pc.cast(
+                    pc.bit_wise_and(
+                        t["h"], pa.scalar(_N_BUCKET_PARTS - 1, pa.int64())
+                    ),
+                    pa.int32(),
+                )
+            ),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+        .groupby("part")
+        .map_groups(non_min_part, batch_format="pandas")
     )
     return {int(r["doc_id"]) for r in ds.take_all()}
 

@@ -8,7 +8,8 @@ stages within a round. Stage map (shuffle inventory in parens):
 3. fetch       : corpus scan + broadcast fetch-set filter (NO shuffle; the
                  per-round fetch set is politeness-bounded, ray.put once) —
                  or Dataset.join when cfg says so          (SHUFFLE alt)
-4. snapshot    : groupby(url) latest warc_ts on the MATCHED subset (small)
+4. snapshot    : partition-wise (url_hash % P) latest-warc_ts pick on the
+                 MATCHED subset (small)
 5. parse       : ONE fused map_batches pass -> text + exploded links
 6. expansion   : canon+hash+host, depth filter, D1 dedup   (SHUFFLE 2,
                  key=url_hash), robots broadcast filter, ST1 seen actors
@@ -213,9 +214,48 @@ def _empty_matched(t: pa.Table) -> pa.Table:
     return base.append_column("fetch_pos", pa.array([], pa.int64()))
 
 
-def _latest_snapshot(g: pd.DataFrame) -> pd.DataFrame:
-    """J5 on the matched subset: keep the max-warc_ts row per url."""
-    return g.loc[[g["warc_ts"].idxmax()]]
+_SNAP_PARTS = 64  # url_hash partitions for the per-round snapshot pick
+
+
+def _latest_snapshot_part(g: pd.DataFrame) -> pd.DataFrame:
+    """J5 on ONE url_hash partition of the matched subset: keep the
+    max-warc_ts row per url. Partition-wise (one Python call per
+    partition, not per matched url): stable sort (url, warc_ts desc) +
+    first-per-url keeps the FIRST occurrence of the max ts — the same
+    winner idxmax picked per group (ties are order-dependent in the
+    reference semantics too; see the cache-build tie fallback)."""
+    g = g.sort_values(
+        ["url", "warc_ts"], ascending=[True, False], kind="mergesort"
+    )
+    return g[~g["url"].duplicated()].drop(columns=["snap_part"])
+
+
+def _append_snap_part(t: pa.Table) -> pa.Table:
+    """Partition key for the snapshot-pick shuffle (url_hash %
+    _SNAP_PARTS). Zero-column blocks (skipped upstream UDFs on 0-row
+    inputs) pass through untouched — see _append_dedup_part."""
+    if t.num_columns == 0:
+        return t
+    return t.append_column(
+        "snap_part",
+        pc.cast(
+            pc.bit_wise_and(t["url_hash"], pa.scalar(_SNAP_PARTS - 1, pa.uint64())),
+            pa.int32(),
+        ),
+    )
+
+
+def _latest_snapshot_ds(matched):
+    """Partition-wise distributed snapshot pick over a matched Dataset
+    (rows carry the frontier's uint64 url_hash — the partition key is one
+    vectorized bit_wise_and, no re-hashing)."""
+    return (
+        matched.map_batches(
+            _append_snap_part, batch_format="pyarrow", zero_copy_batch=True,
+        )
+        .groupby("snap_part")
+        .map_groups(_latest_snapshot_part, batch_format="pandas")
+    )
 
 
 def _parse_batch(
@@ -886,9 +926,7 @@ def run_crawl_ray(
                 # snapshot pick on the (politeness-bounded) matched subset — not
                 # needed when the cached corpus is already latest-per-url
                 if not (corpus_is_latest and fetch_strategy != "join"):
-                    matched = matched.groupby("url").map_groups(
-                        _latest_snapshot, batch_format="pandas"
-                    )
+                    matched = _latest_snapshot_ds(matched)
                 fp = cfg.fail_permille
                 page_callback = cfg.extra.get("page_callback")
                 site_registry = cfg.extra.get("site_registry")

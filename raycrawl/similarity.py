@@ -19,6 +19,7 @@ import os
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
@@ -425,11 +426,39 @@ def embedding_neardup_lsh(sf_dir: str, threshold: float = 0.97):
             b_out.extend(ids[i + 1 + js].tolist())
         return pd.DataFrame({"a": a_out, "b": b_out}, dtype="int64")
 
+    def partition_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        """One bkey-hash partition (partition-wise, not per-bucket: LSH
+        buckets are mostly singletons, so groupby(bkey).map_groups would
+        pay one Python call per bucket ~= bands x corpus size). The
+        singleton kill is a vectorized transform; only multi-occupancy
+        buckets reach the matmul."""
+        sizes = g.groupby("bkey")["vec_id"].transform("size")
+        multi = g[sizes >= 2]
+        if multi.empty:
+            return pd.DataFrame({"a": [], "b": []}, dtype="int64")
+        frames = [
+            bucket_pairs(sub) for _, sub in multi.groupby("bkey", sort=False)
+        ]
+        frames = [f for f in frames if len(f)]
+        if not frames:
+            return pd.DataFrame({"a": [], "b": []}, dtype="int64")
+        return pd.concat(frames, ignore_index=True)
+
+    _P = 64
     pairs_ds = (
         rd.read_parquet(path, columns=["vec_id", "embedding"])
         .map_batches(band_rows, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("bkey")
-        .map_groups(bucket_pairs, batch_format="pandas")
+        .map_batches(
+            lambda t: t.append_column(
+                "part", pc.cast(
+                    pc.bit_wise_and(t["bkey"], pa.scalar(_P - 1, pa.int64())),
+                    pa.int32(),
+                )
+            ),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+        .groupby("part")
+        .map_groups(partition_pairs, batch_format="pandas")
     )
     pairs = {(int(r["a"]), int(r["b"])) for r in pairs_ds.take_all()}
     drop = _components_drop(sorted(pairs))

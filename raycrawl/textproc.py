@@ -13,6 +13,7 @@ import os
 import re
 
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data as rd
 
 _WORD_RE = re.compile(r"\w+|[^\w\s]", re.UNICODE)
@@ -526,39 +527,15 @@ def _tfidf_score_batch(t: pa.Table) -> pa.Table:
     )
 
 
-def _tfidf_doc_topk_factory(k: int):
-    def doc_topk(t: pa.Table) -> pa.Table:
-        import numpy as np
-
-        if t.num_rows == 0:
-            return pa.schema(
-                [
-                    ("doc_id", pa.int64()),
-                    ("term", pa.string()),
-                    ("tf", pa.int64()),
-                    ("df", pa.int64()),
-                    ("rank", pa.int64()),
-                ]
-            ).empty_table()
-        neg = np.negative(t["score"].to_numpy(zero_copy_only=False))
-        terms = t["term"].to_pylist()
-        # score desc, term asc — a group is one doc's distinct terms, so
-        # a plain sort is tiny; matches _TfidfScore's tuple sort exactly
-        order = sorted(range(len(terms)), key=lambda i: (neg[i], terms[i]))[:k]
-        out = t.select(["doc_id", "term", "tf", "df"]).take(order)
-        return out.append_column(
-            "rank", pa.array(range(1, len(order) + 1), pa.int64())
-        )
-
-    return doc_topk
-
-
 def _tfidf_join_path(docs: rd.Dataset, vocab: rd.Dataset, k: int) -> rd.Dataset:
     """Distributed TF-IDF for vocabularies too large to broadcast: the
     canonical two-exchange shape — a word-keyed left-outer join hands
     each (doc, term, tf) row its df (null -> hapax, df=1), then a
     doc-keyed groupby takes the per-document top-k. Every shuffled
     payload is (int64, word, int64)-slim; document text never moves."""
+    import ray
+
+    import pandas as pd
     import ray
 
     ncpu = int(ray.cluster_resources().get("CPU", 8))
@@ -570,6 +547,35 @@ def _tfidf_join_path(docs: rd.Dataset, vocab: rd.Dataset, k: int) -> rd.Dataset:
     scored = joined.map_batches(
         _tfidf_score_batch, batch_format="pyarrow", zero_copy_batch=True
     )
-    return scored.groupby("doc_id").map_groups(
-        _tfidf_doc_topk_factory(k), batch_format="pyarrow"
+
+    _P = 64
+
+    def part_topk(g: pd.DataFrame) -> pd.DataFrame:
+        """Top-k for every doc in ONE doc_id-hash partition (partition-wise,
+        not per-doc: one Python call per partition instead of one per
+        document). Stable sort (doc_id, score desc, term asc) + cumcount<k
+        == _TfidfScore's per-doc (score desc, term asc) tuple sort exactly
+        (a doc's terms are distinct, so (score, term) is a total order)."""
+        g = g.sort_values(
+            ["doc_id", "score", "term"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        pos = g.groupby("doc_id", sort=False).cumcount()
+        out = g[pos < k][["doc_id", "term", "tf", "df"]].copy()
+        out["rank"] = (pos[pos < k] + 1).to_numpy(dtype="int64")
+        return out
+
+    return (
+        scored.map_batches(
+            lambda t: t.append_column(
+                "part", pc.cast(
+                    pc.bit_wise_and(t["doc_id"], pa.scalar(_P - 1, pa.int64())),
+                    pa.int32(),
+                )
+            ),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+        .groupby("part")
+        .map_groups(part_topk, batch_format="pandas")
     )
