@@ -295,27 +295,49 @@ _DROPLIST_SCHEMA = pa.schema(
 )
 
 
+_DROPLIST_PARTS = 64  # doc_id-hash partitions for the drop-list groupby
+
+
 def _drop_rows(t: pa.Table) -> pa.Table:
-    """(occ join winners) -> the losing occurrences as (doc_id, line_idx)."""
+    """(occ join winners) -> the losing occurrences as (doc_id, line_idx),
+    plus the doc_id-hash partition key for the drop-list groupby (fused
+    here: the rows exist only to feed that shuffle)."""
     t = t.filter(pc.not_equal(t["occ_key"], t["min(occ_key)"]))
     occv = t["occ_key"]
+    doc_id = pc.shift_right(occv, _OCC_SHIFT)
     return pa.table(
         {
-            "doc_id": pc.shift_right(occv, _OCC_SHIFT),
+            "doc_id": doc_id,
             "line_idx": pc.bit_wise_and(occv, (1 << _OCC_SHIFT) - 1),
+            "part": pc.cast(
+                pc.bit_wise_and(doc_id, pa.scalar(_DROPLIST_PARTS - 1, pa.int64())),
+                pa.int32(),
+            ),
         }
     )
 
 
-def _collect_drop_list(t: pa.Table) -> pa.Table:
-    """map_groups: one (doc_id, packed drop-index blob) row per document."""
+def _collect_drop_lists_part(t: pa.Table) -> pa.Table:
+    """(doc_id, packed drop-index blob) rows for ONE doc_id-hash partition.
+    Partition-wise, not per-doc: duplicate-bearing docs grow with corpus
+    size (web boilerplate), so a per-doc map_groups pays one Python call
+    per such document. One lexsort + unique boundary scan instead; the
+    remaining per-doc work is a numpy slice + tobytes."""
     if t.num_rows == 0:  # typed empty block, not a zero-column one
         return _DROPLIST_SCHEMA.empty_table()
-    idxs = np.sort(t["line_idx"].to_numpy(zero_copy_only=False))
+    ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    idxs = t["line_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((idxs, ids))  # doc_id major, line_idx minor (sorted blobs)
+    ids, idxs = ids[order], idxs[order]
+    uids, starts = np.unique(ids, return_index=True)
+    bounds = np.append(starts, len(ids))
+    blobs = [
+        idxs[s:e].astype("<i8").tobytes() for s, e in zip(bounds[:-1], bounds[1:])
+    ]
     return pa.table(
         {
-            "doc_id": pa.array([t["doc_id"][0].as_py()], pa.int64()),
-            "drop_idxs": pa.array([idxs.astype("<i8").tobytes()], pa.binary()),
+            "doc_id": pa.array(uids, pa.int64()),
+            "drop_idxs": pa.array(blobs, pa.binary()),
         }
     )
 
@@ -360,8 +382,10 @@ def _dedup_lines_join_path(
     of never materializing the full occurrence table.
 
     Scale shape: 3 exchanges total (occ⋈winners hash join, drop-set
-    groupby keyed by doc_id, docs⋈drop-lists join keyed by doc_id); every
-    shuffled payload except the final docs join is int64-slim."""
+    groupby keyed by doc_id%P — partition-wise, not one Python call per
+    duplicate-bearing doc — and the docs⋈drop-lists join keyed by
+    doc_id); every shuffled payload except the final docs join is
+    int64-slim."""
     ncpu = int(ray.cluster_resources().get("CPU", 8))
     # join actor pools scaled like crawl.py's fetch join: too-wide joins
     # reserve every CPU on small clusters and starve the upstream maps
@@ -379,8 +403,8 @@ def _dedup_lines_join_path(
     drops = hits.map_batches(
         _drop_rows, batch_format="pyarrow", zero_copy_batch=True
     )
-    per_doc = drops.groupby("doc_id").map_groups(
-        _collect_drop_list, batch_format="pyarrow"
+    per_doc = drops.groupby("part").map_groups(
+        _collect_drop_lists_part, batch_format="pyarrow"
     )
     per_doc = _nonempty_blocks(per_doc.materialize(), _DROPLIST_SCHEMA)
     if gate is not None:

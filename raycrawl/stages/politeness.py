@@ -6,12 +6,16 @@ host IN CRAWL ORDER (priority, seq) are taken; the rest carry over.
 
 Skew (BASELINE.json north_rule: "explicit skew salting for hot domains"):
 a single `groupby(host)` puts a hot host's whole frontier in one task. We
-shuffle on a SALTED key instead — `pkey = hash(host) ^ (url_hash % n_salts)`
-for hosts whose row count exceeds `hot_threshold` (detected per round with a
-cheap count aggregate), `hash(host)` otherwise. Phase 1 takes the per-salt
-top-q in crawl order (a superset of the global top-q); phase 2 re-groups the
-(≤ q·n_salts per host, i.e. small) phase-1 survivors by bare host and takes
-the true top-q. Both phases are deterministic pure functions of the group.
+shuffle on a SALTED key instead — `salt = url_hash % n_salts` for hosts
+whose row count exceeds `hot_threshold` (detected per round with a cheap
+count aggregate), 0 otherwise — and group PARTITION-WISE on
+`(pinned_hash(host) ^ salt) % P`, not per (host, salt): one Python pandas
+call per partition instead of one per distinct host (millions at the
+design point); the per-host head-q inside a partition is a vectorized
+stable sort + cumcount. Phase 1 takes the per-salt top-q in crawl order
+(a superset of the global top-q); phase 2 re-groups the (≤ q·n_salts per
+host, i.e. small) phase-1 survivors by bare host and takes the true
+top-q. Both phases are deterministic pure functions of the group.
 
 No wall-clock sleeps anywhere — logical-time budgets keep the stage
 deterministic and fast (SURVEY.md §4.3).
@@ -50,14 +54,46 @@ def quota_for(host: str, delays: dict[str, int], cfg: CrawlConfig) -> int:
     )
 
 
-def _take_group(g: pd.DataFrame, delays: dict[str, int], cfg: CrawlConfig) -> pd.DataFrame:
-    """Mark the first q rows (crawl order) of one host-group `take=True`."""
-    g = g.sort_values(["priority", "seq"], kind="mergesort")
-    q = quota_for(g["host"].iat[0], delays, cfg)
-    take = np.zeros(len(g), dtype=bool)
-    take[:q] = True
-    g = g.copy()
-    g["take"] = take
+_POLITE_PARTS = 64  # host-hash partitions for the quota-take groupby
+
+
+def _append_polite_part(t: pa.Table, with_salt: bool) -> pa.Table:
+    """Partition key co-locating each host's (or (host, salt) sub-group's)
+    rows: pinned 64-bit host hash (core.url_hash — deterministic across
+    workers, unlike PYTHONHASHSEED-dependent builtin hash) % P, XOR'd
+    with the salt on the salted phase. Hosts repeat heavily within a
+    block, so only the dictionary-encoded UNIQUE hosts pay the Python
+    hash; rows get theirs via a vectorized take. Zero-column blocks
+    (skipped upstream UDFs on 0-row inputs) pass through untouched."""
+    if t.num_columns == 0:
+        return t
+    enc = t["host"].combine_chunks().dictionary_encode()
+    uniq = enc.dictionary.to_pylist()
+    uh = np.fromiter((core.url_hash(h) for h in uniq), np.uint64, len(uniq))
+    hh = uh[enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)] if len(uniq) else np.array([], np.uint64)
+    if with_salt:
+        hh = hh ^ t["salt"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    return t.append_column(
+        "ppart",
+        pa.array((hh % np.uint64(_POLITE_PARTS)).astype(np.int32), pa.int32()),
+    )
+
+
+def _take_part(
+    g: pd.DataFrame, delays: dict[str, int], cfg: CrawlConfig, by_salt: bool
+) -> pd.DataFrame:
+    """Mark the first q rows (crawl order) of every host-group (or
+    (host, salt) sub-group) in ONE host-hash partition `take=True`.
+    Partition-wise, not per-host: one Python call per partition instead
+    of one per distinct host (millions at the design point). Stable sort
+    + cumcount < quota == the per-group head(q) exactly."""
+    keys = ["host", "salt"] if by_salt else ["host"]
+    g = g.sort_values(keys + ["priority", "seq"], kind="mergesort")
+    pos = g.groupby(keys, sort=False).cumcount().to_numpy()
+    qmap = {h: quota_for(h, delays, cfg) for h in g["host"].unique()}
+    quotas = g["host"].map(qmap).to_numpy()
+    g = g.drop(columns=["ppart"]).copy()
+    g["take"] = pos < quotas
     return g
 
 
@@ -101,22 +137,34 @@ def politeness_take(ds, delays: dict[str, int], cfg: CrawlConfig,
         salted = ds.map_batches(
             lambda t: add_salt(t, hot, n_salts), batch_format="pyarrow",
             zero_copy_batch=True,
+        ).map_batches(
+            lambda t: _append_polite_part(t, with_salt=True),
+            batch_format="pyarrow", zero_copy_batch=True,
         )
-        phase1 = salted.groupby(["host", "salt"]).map_groups(
-            lambda g: _take_group(g, delays, cfg), batch_format="pandas"
+        phase1 = salted.groupby("ppart").map_groups(
+            lambda g: _take_part(g, delays, cfg, by_salt=True),
+            batch_format="pandas",
         )
         # survivors: taken rows re-grouped by bare host for the exact top-q
         survivors = phase1.filter(expr="take == True").drop_columns(["take", "salt"])
         carry = phase1.filter(expr="take == False").drop_columns(["take", "salt"])
-        final = survivors.groupby("host").map_groups(
-            lambda g: _take_group(g, delays, cfg), batch_format="pandas"
+        final = survivors.map_batches(
+            lambda t: _append_polite_part(t, with_salt=False),
+            batch_format="pyarrow", zero_copy_batch=True,
+        ).groupby("ppart").map_groups(
+            lambda g: _take_part(g, delays, cfg, by_salt=False),
+            batch_format="pandas",
         )
         extra_carry = final.filter(expr="take == False").drop_columns(["take"])
         taken = final.filter(expr="take == True").drop_columns(["take"])
         return taken.materialize(), carry.union(extra_carry).materialize()
 
-    marked = ds.groupby("host").map_groups(
-        lambda g: _take_group(g, delays, cfg), batch_format="pandas"
+    marked = ds.map_batches(
+        lambda t: _append_polite_part(t, with_salt=False),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).groupby("ppart").map_groups(
+        lambda g: _take_part(g, delays, cfg, by_salt=False),
+        batch_format="pandas",
     ).materialize()  # one shuffle; taken/carry below are cheap filters on it
     taken = marked.filter(expr="take == True").drop_columns(["take"])
     carry = marked.filter(expr="take == False").drop_columns(["take"])
