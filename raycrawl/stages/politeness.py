@@ -26,6 +26,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from raycrawl import core
 from raycrawl.core import CrawlConfig
@@ -130,8 +131,21 @@ def politeness_take(ds, delays: dict[str, int], cfg: CrawlConfig,
     if total_rows is not None and total_rows <= hot_threshold:
         hot = set()
     else:
-        counts = ds.groupby("host").aggregate(Count(alias_name="n")).to_pandas()
-        hot = set(counts.loc[counts["n"] > hot_threshold, "host"]) if len(counts) else set()
+        # the > hot_threshold filter runs CLUSTER-side so only the hot
+        # hosts (bounded: total_rows / hot_threshold) reach the driver —
+        # the full (host, n) table is #distinct-hosts rows at scale.
+        # Zero-column guard: the aggregate can emit empty key-only blocks
+        # whose filter UDF gets skipped (CLAUDE.md invariant).
+        hot_rows = (
+            ds.groupby("host").aggregate(Count(alias_name="n"))
+            .map_batches(
+                lambda t: t.filter(pc.greater(t["n"], hot_threshold))
+                if t.num_columns else t,
+                batch_format="pyarrow", zero_copy_batch=True,
+            )
+            .take_all()
+        )
+        hot = {r["host"] for r in hot_rows}
 
     if hot:
         salted = ds.map_batches(
