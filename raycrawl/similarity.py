@@ -33,7 +33,16 @@ _HYPERPLANES = np.random.RandomState(1234).randn(16, 64)
 # bucket groupby instead of an O(N^2) broadcast matmul.
 _NEARDUP_BANDS = 4
 _NEARDUP_BITS = 8
-_BAND_PLANES = np.random.RandomState(5678).randn(_NEARDUP_BANDS, _NEARDUP_BITS, 64)
+
+
+def _band_planes(bands: int, bits: int) -> np.ndarray:
+    """Deterministic hyperplane tables for (bands, bits): the same pinned
+    seed for every shape, so the default shape reproduces the historical
+    `_BAND_PLANES` exactly (pyoracle imports those constants)."""
+    return np.random.RandomState(5678).randn(bands, bits, 64)
+
+
+_BAND_PLANES = _band_planes(_NEARDUP_BANDS, _NEARDUP_BITS)
 
 
 def _emb_matrix(t: pa.Table, col: str = "embedding") -> np.ndarray:
@@ -369,24 +378,38 @@ def embedding_neardup(sf_dir: str, threshold: float = 0.97):
     )
 
 
-def embedding_neardup_lsh(sf_dir: str, threshold: float = 0.97):
+def embedding_neardup_lsh(
+    sf_dir: str, threshold: float = 0.97,
+    bands: int = _NEARDUP_BANDS, bits: int = _NEARDUP_BITS,
+):
     """THE SCALE PATH for embedding near-dup: banded hyperplane LSH.
 
-    Candidate generation is a bucket groupby — each vector emits
-    `_NEARDUP_BANDS` (band_key, vec_id, embedding) rows; only vectors
-    sharing a full 8-bit sign band are pairwise-verified inside
-    `map_groups`. No corpus-sized broadcast, no O(N^2) matmul: shuffle
-    payload is bands x (8B key + 8B id + 256B vector) per row, and bucket
-    work is quadratic only in bucket occupancy. The verified-pair DROP set
-    (bounded by dup density) broadcasts back as a distributed filter —
-    same output contract as `embedding_neardup` (recall tested on planted
-    dups; exact equality is not guaranteed, which is why the brute-force
+    Candidate generation is a bucket groupby — each vector emits `bands`
+    (band_key, vec_id, embedding) rows; only vectors sharing a full
+    `bits`-bit sign band are pairwise-verified inside the partition-wise
+    `map_groups`. No corpus-sized broadcast, no O(N^2) matmul: bucket
+    work is quadratic only in bucket occupancy. SIZE `bits` TO THE
+    CORPUS: there are bands x 2^bits buckets, so expected occupancy is
+    N/2^bits — pick bits ≈ log2(N) - 6 (e.g. 27 bits at 10^10 vectors
+    for ~64-deep buckets); more bands buy back the recall that sharper
+    bands give up. The defaults are pinned (pyoracle imports them) and
+    right for the test corpora; the knob changes candidate recall, not
+    verification (cosine >= threshold is always exact on the pinned
+    planes for the chosen shape). The verified-pair DROP set (bounded by
+    dup density) broadcasts back as a distributed filter — same output
+    contract as `embedding_neardup` (recall tested on planted dups;
+    exact equality is not guaranteed, which is why the brute-force
     variant remains the small-scale default)."""
     import pandas as pd
 
     from raycrawl.dedup import _components_drop, _drop_in_fn
 
     path = os.path.join(sf_dir, "embeddings.parquet")
+    planes = (
+        _BAND_PLANES
+        if (bands, bits) == (_NEARDUP_BANDS, _NEARDUP_BITS)
+        else _band_planes(bands, bits)
+    )
 
     def band_rows(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
@@ -398,10 +421,10 @@ def embedding_neardup_lsh(sf_dir: str, threshold: float = 0.97):
         vids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
         m = _normalize(_emb_matrix(t))
         keys, ids, embs = [], [], []
-        for b in range(_NEARDUP_BANDS):
-            signs = (m @ _BAND_PLANES[b].T) > 0  # (N, bits)
-            bucket = (signs * (1 << np.arange(_NEARDUP_BITS))).sum(axis=1)
-            keys.extend(((b << _NEARDUP_BITS) | bucket).tolist())
+        for b in range(bands):
+            signs = (m @ planes[b].T) > 0  # (N, bits)
+            bucket = (signs * (1 << np.arange(bits, dtype=np.int64))).sum(axis=1)
+            keys.extend(((b << bits) | bucket).tolist())
             ids.extend(vids.tolist())
             embs.extend(m.tolist())
         return pa.table(

@@ -225,6 +225,35 @@ class TestEmbeddingLSH:
         # every planted dup (20..24) dropped in favour of its min-id twin
         assert kept == list(range(20))
 
+    def test_lsh_neardup_scaled_bits_still_finds_planted_dups(
+        self, ray_session, tmp_path
+    ):
+        """The 100-TB knob: sharper bands (more bits => 2^bits buckets,
+        O(1) expected occupancy) with more bands to hold recall. Planted
+        near-copies collide in some band at any reasonable shape."""
+        import pyarrow.parquet as pq
+
+        rng = np.random.RandomState(11)
+        base = rng.randn(20, 64)
+        dups = base[:5] + 0.001 * rng.randn(5, 64)
+        m = np.vstack([base, dups])
+        t = pa.table(
+            {
+                "vec_id": pa.array(range(25), pa.int64()),
+                "embedding": pa.array(
+                    [row.tolist() for row in m], pa.list_(pa.float32())
+                ),
+            }
+        )
+        d = tmp_path / "emb"
+        d.mkdir()
+        pq.write_table(t, str(d / "embeddings.parquet"))
+        out = similarity.embedding_neardup_lsh(
+            str(d), threshold=0.97, bands=8, bits=12
+        )
+        kept = sorted(out.to_pandas()["vec_id"])
+        assert kept == list(range(20))
+
     def test_lsh_neardup_keeps_all_when_no_dups(self, ray_session):
         out = similarity.embedding_neardup_lsh(SF_DIR, threshold=0.999)
         import pyarrow.parquet as pq
