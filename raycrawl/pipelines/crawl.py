@@ -679,13 +679,22 @@ def run_crawl_ray(
                 len(dups)
                 and dups.set_index("url")["warc_ts"].eq(dup_max).groupby(level=0).sum().gt(1).any()
             )
-            # Cache block count: ~2x ncpu. The cache is re-SCANNED every
-            # round by a filter-light fused stage (only the politeness-
-            # bounded matched rows parse), so per-task overhead dominates:
-            # measured 0.45 s/scan at the 217-block read default vs 0.19 s
-            # at 62 blocks (124k-page corpus, 32 CPUs). The 4-8x-ncpu rule
-            # (CLAUDE.md) is for compute-heavy full-corpus passes.
-            cache_blocks = 2 * int(ray.cluster_resources().get("CPU", 8))
+            # Cache block count: ~1 MB-compressed per block, capped at
+            # 2x ncpu, floored at 1 (tiny test corpora must not shatter
+            # into row-sized blocks). The cache is re-SCANNED every round
+            # by a filter-light fused stage (only the politeness-bounded
+            # matched rows parse), so per-task overhead dominates:
+            # measured 0.45 s/scan at the 217-block read default vs
+            # 0.19 s at 62 blocks (58 MB/124k-page corpus, 32 CPUs). The
+            # 4-8x-ncpu rule (CLAUDE.md) is for compute-heavy
+            # full-corpus passes.
+            cache_blocks = max(
+                1,
+                min(
+                    2 * int(ray.cluster_resources().get("CPU", 8)),
+                    int(nbytes) >> 20,
+                ),
+            )
             if ts_ties:
                 corpus_cached = rd.read_parquet(
                     pages_path, columns=corpus_cols,
