@@ -191,11 +191,25 @@ class _TextExtractor(HTMLParser):
             self.parts.append(data)
 
 
+def _feed_lenient(p: HTMLParser, doc: str) -> None:
+    """feed + close, tolerating the stdlib parser's HARD errors on
+    malformed markup (real-web bytes hit them: '<![' followed by binary
+    noise raises AssertionError from _markupbase's marked-section scan).
+    Pinned rule: a hard parser error truncates the parse AT the
+    malformation — everything extracted before it is kept. The parse is
+    deterministic up to the raise, so engine and pyref (which share this
+    function) agree byte-for-byte."""
+    try:
+        p.feed(doc)
+        p.close()
+    except (AssertionError, NotImplementedError, ValueError):
+        pass
+
+
 def extract_text_str(html_utf8: str) -> str:
     """Pinned M6 semantics over an already-decoded document."""
     p = _TextExtractor()
-    p.feed(html_utf8)
-    p.close()
+    _feed_lenient(p, html_utf8)
     return "".join(p.parts)
 
 
@@ -255,8 +269,7 @@ def extract_page(
 ) -> tuple[str, list[str]]:
     """M4+M6+M5 in one pass: (extracted_text, resolved_links)."""
     p = _PageParser()
-    p.feed(decode_html(html, content_type))
-    p.close()
+    _feed_lenient(p, decode_html(html, content_type))
     return "".join(p.parts), _resolve_hrefs(p.hrefs, base_url)
 
 
@@ -278,8 +291,7 @@ def extract_links(html: bytes, base_url: str, content_type: str | None = None) -
     document order. Junk (mailto:, javascript:, bare fragments, malformed)
     is dropped. Returns resolved (NOT canonicalized) URLs."""
     p = _LinkExtractor()
-    p.feed(decode_html(html, content_type))
-    p.close()
+    _feed_lenient(p, decode_html(html, content_type))
     return _resolve_hrefs(p.hrefs, base_url)
 
 

@@ -109,8 +109,7 @@ def parse_dom(html: bytes | str) -> DomNode:
     if isinstance(html, bytes):
         html = core.decode_html(html)
     b = _DomBuilder()
-    b.feed(html)
-    b.close()
+    core._feed_lenient(b, html)  # hard-error truncation rule, see core.py
     return b.root
 
 

@@ -94,6 +94,22 @@ class TestExtractText:
     def test_empty(self):
         assert core.extract_text(b"") == ""
 
+    def test_malformed_marked_section_truncates_not_raises(self):
+        """Real-web bytes: '<![' + binary noise makes the stdlib parser
+        raise AssertionError mid-feed. Pinned rule: the parse truncates
+        AT the malformation, keeping everything before it — identically
+        in extract_text, extract_page and extract_links (shared
+        _feed_lenient)."""
+        bad = b"<p>before</p><![\xc8\x96\x07 garbage <p>after</p>"
+        assert core.extract_text(bad) == "before"
+        text, links = core.extract_page(
+            b'<a href="/x">before</a><![\xc8\x96\x07<a href="/y">after</a>',
+            "http://h.example/",
+        )
+        assert text == "before"
+        assert links == ["http://h.example/x"]
+        assert core.extract_links(bad, "http://h.example/") == []
+
 
 class TestExtractLinks:
     def test_resolve_and_filter(self):
