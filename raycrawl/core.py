@@ -98,15 +98,17 @@ def canonicalize_url(url: str) -> str:
     """
     try:
         parts = urlsplit(url.strip())
+        scheme = parts.scheme.lower()
+        if scheme not in ("http", "https"):
+            return ""
+        host = (parts.hostname or "").lower()
+        if not host:
+            return ""
+        # .port VALIDATES lazily — "http://h:99999/" raises here, not in
+        # urlsplit; a single such href must not poison a parse block
+        port = parts.port
     except ValueError:
         return ""
-    scheme = parts.scheme.lower()
-    if scheme not in ("http", "https"):
-        return ""
-    host = (parts.hostname or "").lower()
-    if not host:
-        return ""
-    port = parts.port
     netloc = host
     if port is not None and str(port) != _DEFAULT_PORTS.get(scheme):
         netloc = f"{host}:{port}"

@@ -94,6 +94,53 @@ class TestExtractText:
     def test_empty(self):
         assert core.extract_text(b"") == ""
 
+    def test_extractors_total_on_arbitrary_bytes(self):
+        """Fuzz: the pinned extractors are TOTAL functions of bytes —
+        any input parses without raising, deterministically (the crawl
+        feeds them raw fetched bodies; a crashing byte pattern would
+        poison a whole block at scale)."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        @settings(max_examples=300, deadline=None)
+        @given(st.binary(max_size=512))
+        def check(data):
+            marked = b"<![" + data + b"<!" + data + b"<a href='/x'>" + data
+            for payload in (data, marked):
+                t1 = core.extract_text(payload)
+                assert t1 == core.extract_text(payload)  # deterministic
+                text, links = core.extract_page(payload, "http://h.example/")
+                assert isinstance(text, str) and isinstance(links, list)
+                core.extract_links(payload, "http://h.example/")
+
+        check()
+
+    def test_url_algebra_total_on_arbitrary_text(self):
+        """Fuzz: canonicalize/hash/host never raise on the strings the
+        expansion stage can feed them (resolved hrefs are attacker-shaped
+        text)."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        @settings(max_examples=300, deadline=None)
+        @given(st.text(max_size=128))
+        def check(s):
+            for u in (s, "http://" + s, "https://h.example/" + s):
+                c = core.canonicalize_url(u)  # never raises: "" rejects
+                assert c == core.canonicalize_url(u)
+                core.url_hash(c)
+                core.host_of(c)
+
+        check()
+
+    def test_out_of_range_port_rejected_not_raised(self):
+        """urlsplit validates .port LAZILY: 'http://h:99999/' raises
+        ValueError at access time, after _resolve_hrefs has already let
+        the href through — one hostile link must not poison a parse
+        block. Pinned: non-parsing URL -> ''."""
+        assert core.canonicalize_url("http://h.example:99999/x") == ""
+        assert core.canonicalize_url("http://h.example:abc/x") == ""
+
     def test_malformed_marked_section_truncates_not_raises(self):
         """Real-web bytes: '<![' + binary noise makes the stdlib parser
         raise AssertionError mid-feed. Pinned rule: the parse truncates
