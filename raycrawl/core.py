@@ -349,8 +349,13 @@ def parse_robots(body: str) -> RobotsRules:
                     disallow.append(val)
             elif key == "crawl-delay":
                 try:
-                    crawl_delay_ms = int(float(val) * 1000)
-                except ValueError:
+                    # OverflowError: 'Crawl-delay: inf'/'1e308' must not
+                    # crash the robots load; clamp to a day, floor at 0
+                    # (negative delays are meaningless)
+                    crawl_delay_ms = max(
+                        0, min(86_400_000, int(float(val) * 1000))
+                    )
+                except (ValueError, OverflowError):
                     pass
     return RobotsRules(tuple(disallow), crawl_delay_ms)
 

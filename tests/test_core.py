@@ -133,6 +133,41 @@ class TestExtractText:
 
         check()
 
+    def test_pinned_primitives_total_on_arbitrary_text(self):
+        """Fuzz the remaining per-row pinned primitives the pipelines feed
+        raw data into: robots parsing (+allows_url), the text-analysis
+        kernels, and the mini-DOM builder — total and deterministic."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from raycrawl import textproc
+        from raycrawl.dedup import minhash_signature, shingles, simhash
+        from raycrawl.stages.site import parse_dom
+
+        @settings(max_examples=200, deadline=None)
+        @given(st.text(max_size=256))
+        def check(s):
+            r = core.parse_robots(s)
+            assert r.allows_url("http://h.example/" + s[:32]) in (True, False)
+            assert core.parse_robots(s).crawl_delay_ms == r.crawl_delay_ms
+            assert textproc.lang_id(s) == textproc.lang_id(s)
+            textproc.fingerprint(s)
+            shingles(s)
+            simhash(s)
+            minhash_signature(s)
+            parse_dom(s)
+
+        check()
+
+    def test_hostile_crawl_delay_clamped_not_raised(self):
+        """'Crawl-delay: inf' / '1e308' raised OverflowError and a
+        negative delay went through as a negative quota input. Pinned:
+        unparseable -> 0 (unchanged), parseable clamps to [0, 1 day]."""
+        for v, want in (("inf", 0), ("1e308", 0), ("nan", 0), ("-5", 0),
+                        ("2", 2000), ("999999999", 86_400_000)):
+            r = core.parse_robots(f"User-agent: *\nCrawl-delay: {v}\n")
+            assert r.crawl_delay_ms == want, (v, r.crawl_delay_ms)
+
     def test_out_of_range_port_rejected_not_raised(self):
         """urlsplit validates .port LAZILY: 'http://h:99999/' raises
         ValueError at access time, after _resolve_hrefs has already let
