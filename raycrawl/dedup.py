@@ -10,12 +10,19 @@ Ray-native shape: signatures are computed in vectorized `map_batches`
 stages; banding is a flat-map that emits (band_key, doc_id, signature)
 rows; candidate discovery is a `groupby(band_key)` shuffle whose payload is
 just doc_id + 64x-uint64 signature (NOT the text); verification happens
-per-bucket inside `map_groups`; the final connected-components/keep-list
-step runs on the (tiny) verified-pair set on the driver.
+per-bucket inside `map_groups`.
 
-At the 10^10-doc design point the pair set is bounded by true-duplicate
-density, not corpus size, so the driver union-find stays small; the
-shuffles carry ~0.5 KB per doc.
+The connected-components/drop-set step is HYBRID size-dispatched (the
+repo-wide pattern — see crawl.driver_round_threshold): below
+PAIR_ROWS_DRIVER_MAX verified pairs the union-find runs on the driver
+(the all-to-all fixed floor dwarfs the work); above it, candidate pairs
+stay a Dataset, verification is a pair-bounded hash join against the
+signature table, components come from distributed min-label propagation
+(`_components_drop_ds`), and the drop set applies as a broadcast filter
+below DROP_BROADCAST_MAX ids or a left-anti join above — nothing
+pair- or drop-shaped ever materializes on the driver on the scale path.
+At web-typical 30-50% duplicate density the pair set is O(corpus), which
+is exactly why the scale path exists.
 """
 
 from __future__ import annotations
@@ -244,6 +251,271 @@ def _components_keep(all_ids: list[int], pairs: list[tuple[int, int]]) -> list[i
     return sorted(i for i in all_ids if i not in drop)
 
 
+# --- distributed connected components / drop application --------------------
+#
+# Hybrid size dispatch (same pattern as BAND_ROWS_DRIVER_MAX below): the
+# verified-pair set and the resulting drop set scale with duplicate COUNT —
+# O(corpus) at web-typical 30-50% dup density — so neither may
+# unconditionally land on the driver. Below the thresholds the driver
+# union-find + ray.put broadcast stay (the distributed path pays a ~4-6 s
+# fixed all-to-all floor per exchange on this cluster); above them the
+# pair Dataset never leaves the cluster.
+
+PAIR_ROWS_DRIVER_MAX = 2_000_000  # verified/candidate pairs pulled to driver below this
+DROP_BROADCAST_MAX = 4_000_000  # drop ids applied via ray.put is_in below this
+
+_PAIR_SCHEMA = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+_CAND_SCHEMA = pa.schema(
+    [("a", pa.int64()), ("b", pa.int64()), ("dropped", pa.int64())]
+)
+_EDGE_SCHEMA = pa.schema([("u", pa.int64()), ("v", pa.int64())])
+_LABEL_SCHEMA = pa.schema([("id", pa.int64()), ("label", pa.int64())])
+_PROP_SCHEMA = pa.schema(
+    [("id", pa.int64()), ("cand", pa.int64()), ("old", pa.int64())]
+)
+_DROP_SCHEMA = pa.schema([("id", pa.int64())])
+
+
+def _join_parts() -> int:
+    """Hash-join partition count, scaled like curate._dedup_lines_join_path:
+    too-wide joins reserve every CPU and starve upstream maps."""
+    return max(2, int(ray.cluster_resources().get("CPU", 8)) // 2)
+
+
+def _pairs_arrow(df: pd.DataFrame, cols=("a", "b")) -> pa.Table:
+    """Typed Arrow pair table from a (possibly empty) pandas frame — forces
+    int64 so map_groups emits TYPED empties (never zero-column blocks) that
+    downstream joins and unions accept (CLAUDE.md invariant)."""
+    return pa.table(
+        {c: pa.array(df[c].to_numpy(dtype=np.int64, copy=False), pa.int64()) for c in cols}
+    )
+
+
+def _distinct_pairs_ds(pairs_ds: rd.Dataset) -> rd.Dataset:
+    """Partition-wise distinct over an (a, b) pair Dataset (bands emit the
+    same pair up to _BANDS times): part = mixed hash(a, b) % P, vectorized
+    drop_duplicates inside each partition — one slim int64 exchange, no
+    per-pair Python."""
+
+    def part_col(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = t["b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            mix = (a * _SH_M1) ^ (b * _SH_M2)
+        return t.append_column(
+            "part",
+            pa.array((mix & np.uint64(_N_BUCKET_PARTS - 1)).astype(np.int32)),
+        )
+
+    def distinct_part(g: pd.DataFrame) -> pa.Table:
+        return _pairs_arrow(g.drop_duplicates(["a", "b"]))
+
+    return (
+        pairs_ds.map_batches(part_col, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(distinct_part, batch_format="pandas")
+    )
+
+
+def _sum_col(ds: rd.Dataset, col: str) -> int:
+    """Sum an int column via per-block partial sums — only one tiny count
+    row per block reaches the driver (Ray skips map UDFs on 0-row blocks,
+    which then contribute no rows here)."""
+    parts = ds.map_batches(
+        lambda t: pa.table(
+            {"n": pa.array([int(pc.sum(t[col]).as_py() or 0)], pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+    return sum(r.get("n", 0) for r in parts.take_all())
+
+
+def _components_drop_ds(pairs_ds: rd.Dataset, max_iter: int = 64) -> rd.Dataset:
+    """Distributed `_components_drop`: min-label propagation with
+    pointer-doubling over the verified-pair Dataset. Returns the DROP ids
+    (every non-min id per connected component) as a single-column `id`
+    Dataset — nothing pair-shaped lands on the driver.
+
+    Per round: one (edges ⋈ labels) int64 hash join + one groupby-min
+    (labels monotonically decrease; a round with zero decreases is a
+    proven fixpoint: min over self+neighbors unchanged everywhere means
+    labels are constant per component, and since label(min_node) <= min
+    from round 0 that constant IS the component min), plus one
+    label-of-label shortcut join while unconverged (classic
+    pointer-doubling, so convergence is O(log component diameter) — near-
+    dup components are near-cliques, 1-3 rounds in practice). Semantics
+    identical to the driver union-find; equivalence-tested."""
+    from raycrawl import ioutil
+    from ray.data.aggregate import Max, Min
+
+    n_parts = _join_parts()
+
+    def sym(t: pa.Table) -> pa.Table:
+        t = t.select(["a", "b"])
+        fwd = t.rename_columns(["u", "v"])
+        rev = t.select(["b", "a"]).rename_columns(["u", "v"])
+        return pa.concat_tables([fwd, rev])
+
+    edges = ioutil.nonempty_blocks(
+        pairs_ds.map_batches(
+            sym, batch_format="pyarrow", zero_copy_batch=True
+        ).materialize(),
+        _EDGE_SCHEMA,
+    )
+    if edges.count() == 0:
+        return rd.from_arrow(_DROP_SCHEMA.empty_table())
+
+    # round 0 for free: label(u) = min(u, min neighbor)
+    lab0 = ioutil.nonempty_blocks(
+        edges.groupby("u").aggregate(Min("v", alias_name="mv")).materialize(),
+        pa.schema([("u", pa.int64()), ("mv", pa.int64())]),
+    )
+    labels = ioutil.nonempty_blocks(
+        lab0.map_batches(
+            lambda t: pa.table(
+                {"id": t["u"], "label": pc.min_element_wise(t["u"], t["mv"])}
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).materialize(),
+        _LABEL_SCHEMA,
+    )
+
+    for _ in range(max_iter):
+        prop = edges.join(
+            labels, "inner", num_partitions=n_parts, on=("u",), right_on=("id",)
+        ).map_batches(
+            lambda t: pa.table(
+                {
+                    "id": t["v"],
+                    "cand": t["label"],
+                    "old": pa.nulls(t.num_rows, pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        prop = ioutil.nonempty_blocks(prop.materialize(), _PROP_SCHEMA)
+        own = labels.map_batches(
+            lambda t: pa.table({"id": t["id"], "cand": t["label"], "old": t["label"]}),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        merged = ioutil.nonempty_blocks(
+            prop.union(own)
+            .groupby("id")
+            .aggregate(Min("cand", alias_name="label"), Max("old", alias_name="old"))
+            .materialize(),
+            pa.schema(
+                [("id", pa.int64()), ("label", pa.int64()), ("old", pa.int64())]
+            ),
+        )
+        changed = _sum_col(
+            merged.map_batches(
+                lambda t: pa.table(
+                    {
+                        "c": pc.cast(
+                            pc.less(t["label"], t["old"]), pa.int64()
+                        )
+                    }
+                ),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            ),
+            "c",
+        )
+        labels = ioutil.nonempty_blocks(
+            merged.map_batches(
+                lambda t: t.select(["id", "label"]),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            ).materialize(),
+            _LABEL_SCHEMA,
+        )
+        if changed == 0:
+            break
+        # pointer-doubling: label <- label(label). Every label value is a
+        # node id (mins over node ids), so the inner self-join is total.
+        rlab = labels.map_batches(
+            lambda t: pa.table({"rid": t["id"], "rlabel": t["label"]}),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        jumped = labels.join(
+            rlab, "inner", num_partitions=n_parts, on=("label",), right_on=("rid",)
+        ).map_batches(
+            lambda t: pa.table({"id": t["id"], "label": t["rlabel"]}),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        labels = ioutil.nonempty_blocks(jumped.materialize(), _LABEL_SCHEMA)
+    else:
+        _LOG.warning(
+            "components: label propagation hit max_iter=%d without a proven "
+            "fixpoint (component diameter > 2^%d is required to get here); "
+            "drop set may merge-split incorrectly",
+            max_iter, max_iter,
+        )
+
+    return labels.map_batches(
+        lambda t: t.filter(pc.not_equal(t["label"], t["id"])).select(["id"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def _apply_drop(ds: rd.Dataset, drop, col: str) -> rd.Dataset:
+    """Apply a DROP id collection to `ds[col]`: sets (and Datasets below
+    DROP_BROADCAST_MAX ids) broadcast once via ray.put and filter with one
+    vectorized is_in per batch; larger drop Datasets apply as a left-anti
+    join (left_outer + null-marker filter, the q_anti_join shape) so the
+    drop set never lands on the driver."""
+    if isinstance(drop, (set, frozenset, list)):
+        if not drop:
+            return ds
+        dref = ray.put(pa.array(sorted(drop), pa.int64()))
+        return ds.map_batches(
+            _drop_in_fn(dref, col), batch_format="pyarrow", zero_copy_batch=True
+        )
+    from raycrawl import ioutil
+
+    drop = ioutil.nonempty_blocks(drop.materialize(), _DROP_SCHEMA)
+    n = drop.count()
+    if n == 0:
+        return ds
+    if n <= DROP_BROADCAST_MAX:
+        ids = sorted(r["id"] for r in drop.take_all())  # bounded by the cap
+        dref = ray.put(pa.array(ids, pa.int64()))
+        return ds.map_batches(
+            _drop_in_fn(dref, col), batch_format="pyarrow", zero_copy_batch=True
+        )
+    marked = ioutil.nonempty_blocks(
+        drop.map_batches(
+            lambda t: pa.table(
+                {
+                    "__drop_id": t["id"],
+                    "__dropflag": pa.array(np.ones(t.num_rows, dtype=np.int8)),
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).materialize(),
+        pa.schema([("__drop_id", pa.int64()), ("__dropflag", pa.int8())]),
+    )
+    joined = ds.join(
+        marked, "left_outer", num_partitions=_join_parts(),
+        on=(col,), right_on=("__drop_id",),
+    )
+
+    def strip(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_null(t["__dropflag"]))
+        return t.drop_columns(
+            [c for c in ("__drop_id", "__dropflag") if c in t.column_names]
+        )
+
+    return joined.map_batches(strip, batch_format="pyarrow", zero_copy_batch=True)
+
+
 # Broadcast membership filters run as PLAIN TASKS, not actor pools: the
 # only "state" is a ray.put'd array whose per-task fetch is a zero-copy
 # shared-memory read (~µs), while an autoscaling (1, ncpu) actor pool
@@ -298,13 +570,17 @@ def _read_docs(sf_dir: str) -> rd.Dataset:
 BAND_ROWS_DRIVER_MAX = 2_000_000
 
 
-def _lsh_candidate_pairs(sigs: rd.Dataset) -> set[tuple[int, int]]:
+def _lsh_candidate_pairs(sigs: rd.Dataset):
     """The MinHash-LSH banding step: (bkey, doc_id)-only explode, then
     bucket candidate generation — driver-local below
     BAND_ROWS_DRIVER_MAX band rows, bkey-hash-partitioned groupby above.
-    Capped-bucket truncation logged. Returns the deduped candidate
-    id-pair set (bounded by duplicate density — the only thing that
-    reaches the driver besides the slim band rows on the local path)."""
+    Capped-bucket truncation logged (per-block partial sums — no silent
+    caps and no driver pull for the accounting).
+
+    Returns the deduped candidate id-pair SET when the pair volume fits
+    the driver (<= PAIR_ROWS_DRIVER_MAX) — the fast path for every corpus
+    below web-scale dup density — else the deduped candidate pair DATASET
+    (a, b), which stays distributed through verification and components."""
     banded = sigs.map_batches(band_explode_slim, batch_format="pyarrow")
     if sigs.count() * _BANDS <= BAND_ROWS_DRIVER_MAX:
         # explode stays distributed; only the slim (bkey, doc_id) rows land.
@@ -323,50 +599,144 @@ def _lsh_candidate_pairs(sigs: rd.Dataset) -> set[tuple[int, int]]:
             if parts
             else []
         )
-    else:
-        banded = banded.map_batches(
-            lambda t: t.append_column(
-                "part", pc.cast(
-                    pc.bit_wise_and(
-                        t["bkey"], pa.scalar(_N_BUCKET_PARTS - 1, pa.uint64())
-                    ),
-                    pa.int32(),
-                )
+        pairs = set()  # dedup pair list (bands can emit the same pair many times)
+        dropped_cands = 0
+        for r in rows:
+            if r["dropped"]:  # capped-bucket marker (_bucket_candidate_pairs)
+                dropped_cands += int(r["dropped"])
+            else:
+                pairs.add((int(r["a"]), int(r["b"])))
+        if dropped_cands:
+            _LOG.warning(
+                "minhash LSH: %d candidate ids exceeded the %d-id bucket cap "
+                "and were not paired (recall may drop for pathological "
+                "buckets)",
+                dropped_cands, _BUCKET_CAP,
+            )
+        return pairs
+
+    from raycrawl import ioutil
+
+    banded = banded.map_batches(
+        lambda t: t.append_column(
+            "part", pc.cast(
+                pc.bit_wise_and(
+                    t["bkey"], pa.scalar(_N_BUCKET_PARTS - 1, pa.uint64())
+                ),
+                pa.int32(),
+            )
+        ),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    raw = ioutil.nonempty_blocks(
+        banded.groupby("part")
+        .map_groups(
+            lambda g: _pairs_arrow(
+                _partition_candidate_pairs(g), ("a", "b", "dropped")
             ),
-            batch_format="pyarrow", zero_copy_batch=True,
+            batch_format="pandas",
         )
-        rows = banded.groupby("part").map_groups(
-            _partition_candidate_pairs, batch_format="pandas"
-        ).take_all()
-    pairs = set()  # dedup pair list (bands can emit the same pair many times)
-    dropped_cands = 0
-    for r in rows:
-        if r["dropped"]:  # capped-bucket marker (see _bucket_candidate_pairs)
-            dropped_cands += int(r["dropped"])
-        else:
-            pairs.add((int(r["a"]), int(r["b"])))
+        .materialize(),
+        _CAND_SCHEMA,
+    )
+    dropped_cands = _sum_col(raw, "dropped")
     if dropped_cands:
         _LOG.warning(
             "minhash LSH: %d candidate ids exceeded the %d-id bucket cap and "
             "were not paired (recall may drop for pathological buckets)",
             dropped_cands, _BUCKET_CAP,
         )
-    return pairs
+    pairs_ds = raw.map_batches(
+        lambda t: t.filter(pc.equal(t["dropped"], 0)).select(["a", "b"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    pairs_ds = ioutil.nonempty_blocks(
+        _distinct_pairs_ds(pairs_ds).materialize(), _PAIR_SCHEMA
+    )
+    if pairs_ds.count() <= PAIR_ROWS_DRIVER_MAX:
+        return {(int(r["a"]), int(r["b"])) for r in pairs_ds.take_all()}
+    return pairs_ds
 
 
-def minhash_drop_ids(sf_dir: str, threshold: float = 0.7) -> set[int]:
-    """MinHash-LSH near-dup DROP set (non-min id per duplicate component).
+_SIGB_SCHEMA = pa.schema([("doc_id", pa.int64()), ("sigb", pa.binary())])
 
-    Scale shape: signatures materialize once; the banding shuffle carries
-    only (bkey, doc_id); buckets emit candidate id pairs; verification
-    pulls ONLY the candidate signatures (bounded by true-duplicate
-    density, not corpus size) and checks signature agreement >= threshold.
-    Only pair ids ever reach the driver — never the full corpus id list."""
+
+def _sig_binary_ds(sigs: rd.Dataset) -> rd.Dataset:
+    """(doc_id, sigb) with the 64x-uint64 signature packed into one 512-byte
+    binary value — pyarrow hash joins reject list-typed payload columns,
+    binary passes through them zero-copy."""
+    from raycrawl import ioutil
+
+    def pack(t: pa.Table) -> pa.Table:
+        packed = [
+            np.asarray(s, dtype=np.uint64).tobytes() for s in t["sig"].to_pylist()
+        ]
+        return pa.table({"doc_id": t["doc_id"], "sigb": pa.array(packed, pa.binary())})
+
+    return ioutil.nonempty_blocks(
+        sigs.map_batches(pack, batch_format="pyarrow", zero_copy_batch=True)
+        .materialize(),
+        _SIGB_SCHEMA,
+    )
+
+
+def _verify_minhash_pairs_ds(
+    pairs_ds: rd.Dataset, sigs: rd.Dataset, threshold: float
+) -> rd.Dataset:
+    """Distributed verification for the scale path: candidate pairs join the
+    packed-signature table on each side (pair-bounded int64-keyed hash
+    joins; the signature side shuffles ~512 B/doc — the same order the
+    banding pass already paid), then signature agreement >= threshold is
+    checked vectorized per batch. Returns the verified (a, b) Dataset."""
+    from raycrawl import ioutil
+
+    n_parts = _join_parts()
+    sigb = _sig_binary_ds(sigs)
+    j1 = pairs_ds.join(
+        sigb, "inner", num_partitions=n_parts, on=("a",), right_on=("doc_id",)
+    ).map_batches(
+        lambda t: pa.table({"a": t["a"], "b": t["b"], "sig_a": t["sigb"]}),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    j1 = ioutil.nonempty_blocks(
+        j1.materialize(),
+        pa.schema([("a", pa.int64()), ("b", pa.int64()), ("sig_a", pa.binary())]),
+    )
+    j2 = j1.join(
+        sigb, "inner", num_partitions=n_parts, on=("b",), right_on=("doc_id",)
+    )
+
+    def verify(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _PAIR_SCHEMA.empty_table()
+        A = np.frombuffer(
+            b"".join(t["sig_a"].to_pylist()), dtype=np.uint64
+        ).reshape(t.num_rows, _N_PERM)
+        B = np.frombuffer(
+            b"".join(t["sigb"].to_pylist()), dtype=np.uint64
+        ).reshape(t.num_rows, _N_PERM)
+        keep = (A == B).mean(axis=1) >= threshold
+        return t.filter(pa.array(keep)).select(["a", "b"])
+
+    return j2.map_batches(verify, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _minhash_drop(sf_dir: str, threshold: float = 0.7):
+    """MinHash-LSH near-dup DROP ids (non-min id per duplicate component):
+    a SET on the driver path, a single-column `id` DATASET on the scale
+    path (see the size-dispatch contract of `_lsh_candidate_pairs`).
+
+    Driver path: verification pulls ONLY the candidate signatures (bounded
+    by the pair threshold) and checks agreement >= threshold; union-find on
+    the driver. Scale path: join-verified pairs + distributed min-label
+    propagation — nothing pair-shaped lands on the driver."""
     docs = _read_docs(sf_dir)
     sigs = docs.map_batches(
         minhash_batch, batch_format="pyarrow", zero_copy_batch=True
     ).materialize()
     pairs = _lsh_candidate_pairs(sigs)
+    if isinstance(pairs, rd.Dataset):
+        return _components_drop_ds(_verify_minhash_pairs_ds(pairs, sigs, threshold))
     if not pairs:
         return set()
     cand_ids = {x for p in pairs for x in p}
@@ -387,19 +757,27 @@ def minhash_drop_ids(sf_dir: str, threshold: float = 0.7) -> set[int]:
     return _components_drop(verified)
 
 
+def minhash_drop_ids(sf_dir: str, threshold: float = 0.7) -> set[int]:
+    """Driver-set convenience contract (kept for small-corpus callers): on
+    the scale path this PULLS the drop Dataset — compose `_minhash_drop` +
+    `_apply_drop` instead when the corpus may carry web-scale dup density
+    (prep_corpus does)."""
+    drop = _minhash_drop(sf_dir, threshold)
+    if isinstance(drop, set):
+        return drop
+    return {int(r["id"]) for r in drop.take_all()}
+
+
 def minhash_dedup(sf_dir: str, threshold: float = 0.7) -> rd.Dataset:
     """Full MinHash-LSH dedup over documents: returns the kept doc_ids as a
-    DATASET — the drop set (bounded by duplicate density) is broadcast and
-    applied as a distributed filter, so the keep list never materializes
-    on the driver."""
-    drop = minhash_drop_ids(sf_dir, threshold)
-    dref = ray.put(pa.array(sorted(drop), pa.int64()))
-    return (
-        rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
-        .map_batches(
-            _drop_in_fn(dref, "doc_id"),
-            batch_format="pyarrow", zero_copy_batch=True,
-        )
+    DATASET — the drop set is broadcast (small) or anti-joined (scale
+    path), so neither the keep list nor the scale-path drop set ever
+    materializes on the driver."""
+    drop = _minhash_drop(sf_dir, threshold)
+    return _apply_drop(
+        rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]),
+        drop,
+        "doc_id",
     )
 
 
@@ -509,7 +887,10 @@ def simhash_dedup(sf_dir: str, max_hamming: int = 3) -> rd.Dataset:
             df = pd.concat(parts, ignore_index=True)
             for r in _sim_partition_pairs(df, max_hamming).itertuples():
                 pairs.add((int(r.a), int(r.b)))
+        drop = _components_drop(sorted(pairs))
     else:
+        from raycrawl import ioutil
+
         # partition-wise, not per-bucket: groupby(bkey).map_groups would pay
         # one Python pandas call per band bucket (~4x corpus size, mostly
         # singletons); bkey%P gives P calls with the same bucket logic
@@ -525,38 +906,49 @@ def simhash_dedup(sf_dir: str, max_hamming: int = 3) -> rd.Dataset:
             batch_format="pyarrow", zero_copy_batch=True,
         )
         pairs_ds = banded.groupby("part").map_groups(
-            lambda g: _sim_partition_pairs(g, max_hamming), batch_format="pandas"
+            lambda g: _pairs_arrow(_sim_partition_pairs(g, max_hamming)),
+            batch_format="pandas",
         )
-        pairs = {(int(r["a"]), int(r["b"])) for r in pairs_ds.take_all()}
-    # drop set (bounded by dup density) broadcast as a distributed filter —
-    # the full doc_id list never lands on the driver
-    drop = _components_drop(sorted(pairs))
-    dref = ray.put(pa.array(sorted(drop), pa.int64()))
-    return docs.select_columns(["doc_id"]).map_batches(
-        _drop_in_fn(dref, "doc_id"),
-        batch_format="pyarrow", zero_copy_batch=True,
-    )
+        # hamming verification already happened in-bucket; bands can emit
+        # the same pair up to 4x, so distinct before the size dispatch
+        pairs_ds = ioutil.nonempty_blocks(
+            _distinct_pairs_ds(pairs_ds).materialize(), _PAIR_SCHEMA
+        )
+        if pairs_ds.count() <= PAIR_ROWS_DRIVER_MAX:
+            pairs = {(int(r["a"]), int(r["b"])) for r in pairs_ds.take_all()}
+            drop = _components_drop(sorted(pairs))
+        else:
+            drop = _components_drop_ds(pairs_ds)
+    # drop set broadcast (small) or anti-joined (scale path) as a
+    # distributed filter — the full doc_id list never lands on the driver
+    return _apply_drop(docs.select_columns(["doc_id"]), drop, "doc_id")
 
 
-def exact_dup_drop_ids(sf_dir: str) -> set[int]:
-    """Exact-dedup DROP set: for every group of identical texts (64-bit
+def _exact_dup_drop(sf_dir: str):
+    """Exact-dedup DROP ids: for every group of identical texts (64-bit
     content hash key), every id except the min. Complements
-    relational.q_dedup_exact (which returns the keep side); only duplicate
-    ids reach the driver."""
-    from raycrawl import core
+    relational.q_dedup_exact (which returns the keep side). Hybrid
+    dispatch: a SET below DROP_BROADCAST_MAX duplicate ids, else the
+    single-column `id` DATASET (feed to `_apply_drop`) — the drop list
+    scales with duplicate count, O(corpus) at web dup density."""
+    from raycrawl import core, ioutil
 
     def hash_text(t: pa.Table) -> pa.Table:
         # 63-bit int64 key — see relational.q_dedup_exact (same group key)
         hs = [core.url_hash(x) & ((1 << 63) - 1) for x in t["text"].to_pylist()]
         return pa.table({"doc_id": t["doc_id"], "h": pa.array(hs, pa.int64())})
 
-    def non_min_part(g: pd.DataFrame) -> pd.DataFrame:
+    def non_min_part(g: pd.DataFrame) -> pa.Table:
         """Non-min ids for ONE h-hash partition (partition-wise, not
         per-hash-group: one Python call per partition instead of one per
         distinct text). Sort by (h, doc_id) then drop the first row per h
-        == drop the min doc_id per content hash — identical selection."""
+        == drop the min doc_id per content hash — identical selection.
+        Typed Arrow output so empties never go zero-column."""
         g = g.sort_values(["h", "doc_id"], kind="mergesort")
-        return g[g["h"].duplicated()][["doc_id"]]
+        ids = g[g["h"].duplicated()]["doc_id"]
+        return pa.table(
+            {"id": pa.array(ids.to_numpy(dtype=np.int64, copy=False), pa.int64())}
+        )
 
     ds = (
         rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
@@ -575,7 +967,20 @@ def exact_dup_drop_ids(sf_dir: str) -> set[int]:
         .groupby("part")
         .map_groups(non_min_part, batch_format="pandas")
     )
-    return {int(r["doc_id"]) for r in ds.take_all()}
+    ds = ioutil.nonempty_blocks(ds.materialize(), _DROP_SCHEMA)
+    if ds.count() <= DROP_BROADCAST_MAX:
+        return {int(r["id"]) for r in ds.take_all()}
+    return ds
+
+
+def exact_dup_drop_ids(sf_dir: str) -> set[int]:
+    """Driver-set convenience contract: on the scale path this PULLS the
+    drop Dataset — compose `_exact_dup_drop` + `_apply_drop` instead when
+    the corpus may carry web-scale dup density (prep_corpus does)."""
+    drop = _exact_dup_drop(sf_dir)
+    if isinstance(drop, set):
+        return drop
+    return {int(r["id"]) for r in drop.take_all()}
 
 
 # ---------------------------------------------------------------------------
@@ -606,6 +1011,15 @@ def jaccard_dedup(sf_dir: str, threshold: float = 0.7) -> rd.Dataset:
         minhash_batch, batch_format="pyarrow", zero_copy_batch=True
     ).materialize()
     pairs = _lsh_candidate_pairs(sigs)
+    if isinstance(pairs, rd.Dataset):
+        drop = _components_drop_ds(_verify_jaccard_pairs_ds(pairs, docs, threshold))
+        return _apply_drop(
+            rd.read_parquet(
+                os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+            ),
+            drop,
+            "doc_id",
+        )
     drop: set[int] = set()
     if pairs:
         cand_ids = {x for p in pairs for x in p}
@@ -649,11 +1063,69 @@ def jaccard_dedup(sf_dir: str, threshold: float = 0.7) -> rd.Dataset:
             if _jac(sh_by_id[a], sh_by_id[b]) >= threshold
         ]
         drop = _components_drop(verified)
-    dref = ray.put(pa.array(sorted(drop), pa.int64()))
-    return (
-        rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
-        .map_batches(
-            _drop_in_fn(dref, "doc_id"),
-            batch_format="pyarrow", zero_copy_batch=True,
-        )
+    return _apply_drop(
+        rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]),
+        drop,
+        "doc_id",
     )
+
+
+def _verify_jaccard_pairs_ds(
+    pairs_ds: rd.Dataset, docs: rd.Dataset, threshold: float
+) -> rd.Dataset:
+    """Scale-path true-Jaccard verification: each doc's UNIQUE shingle
+    hashes pack into one binary value (pyarrow joins reject list payloads)
+    and join onto the candidate pairs from both sides; exact set overlap is
+    computed per pair inside the batch. The shingle shuffle is corpus-
+    bounded (~8 B/token) and the pair side is candidate-bounded — nothing
+    lands on the driver."""
+    from raycrawl import ioutil
+
+    n_parts = _join_parts()
+
+    def pack_shingles(t: pa.Table) -> pa.Table:
+        packed = [
+            np.unique(shingles(x or "")).tobytes() for x in t["text"].to_pylist()
+        ]
+        return pa.table(
+            {"doc_id": t["doc_id"], "shb": pa.array(packed, pa.binary())}
+        )
+
+    shb = ioutil.nonempty_blocks(
+        docs.map_batches(
+            pack_shingles, batch_format="pyarrow", zero_copy_batch=True
+        ).materialize(),
+        pa.schema([("doc_id", pa.int64()), ("shb", pa.binary())]),
+    )
+    j1 = pairs_ds.join(
+        shb, "inner", num_partitions=n_parts, on=("a",), right_on=("doc_id",)
+    ).map_batches(
+        lambda t: pa.table({"a": t["a"], "b": t["b"], "sh_a": t["shb"]}),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    j1 = ioutil.nonempty_blocks(
+        j1.materialize(),
+        pa.schema([("a", pa.int64()), ("b", pa.int64()), ("sh_a", pa.binary())]),
+    )
+    j2 = j1.join(
+        shb, "inner", num_partitions=n_parts, on=("b",), right_on=("doc_id",)
+    )
+
+    def verify(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _PAIR_SCHEMA.empty_table()
+        keep = []
+        for sa, sb in zip(t["sh_a"].to_pylist(), t["shb"].to_pylist()):
+            A = np.frombuffer(sa, dtype=np.uint64)
+            B = np.frombuffer(sb, dtype=np.uint64)
+            if not len(A) and not len(B):
+                keep.append(True)
+                continue
+            if not len(A) or not len(B):
+                keep.append(False)
+                continue
+            inter = np.intersect1d(A, B, assume_unique=True).size
+            keep.append(inter / (len(A) + len(B) - inter) >= threshold)
+        return t.filter(pa.array(keep)).select(["a", "b"])
+
+    return j2.map_batches(verify, batch_format="pyarrow", zero_copy_batch=True)

@@ -5,9 +5,10 @@
 
 Each stage is the production operator from textproc/dedup; the pipeline is
 a single lazy Dataset chain (one streaming pass) except the two dedup
-keep-lists, which are computed once and broadcast as id sets. This is the
-"what a 100 TB pretraining-corpus pipeline actually runs" surface the
-brief asks for.
+drop collections, which are computed once and — per the hybrid size
+dispatch in dedup — broadcast as id sets below the caps or applied as
+anti-join stages above them. This is the "what a 100 TB pretraining-
+corpus pipeline actually runs" surface the brief asks for.
 """
 
 from __future__ import annotations
@@ -20,7 +21,7 @@ import ray
 import ray.data as rd
 
 from raycrawl import textproc
-from raycrawl.dedup import exact_dup_drop_ids, minhash_drop_ids
+from raycrawl.dedup import _apply_drop, _exact_dup_drop, _minhash_drop
 
 
 def prep_corpus(
@@ -35,11 +36,19 @@ def prep_corpus(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
     )
 
-    # DROP sets computed once and broadcast (bounded by duplicate density —
-    # never the corpus-sized keep lists): keep == NOT in (exact ∪ near).
-    drop_ids = exact_dup_drop_ids(sf_dir)
-    if near_dedup:
-        drop_ids = drop_ids | minhash_drop_ids(sf_dir)
+    # DROP collections computed once: set-shaped ones fold into one
+    # broadcast is_in; Dataset-shaped ones (web-scale dup density) chain
+    # as anti-join stages after the analysis pass.
+    drop_ids: set[int] = set()
+    drop_datasets = []
+    for d in (
+        _exact_dup_drop(sf_dir),
+        _minhash_drop(sf_dir) if near_dedup else set(),
+    ):
+        if isinstance(d, set):
+            drop_ids |= d
+        else:
+            drop_datasets.append(d)
     drop_ref = ray.put(pa.array(sorted(drop_ids), pa.int64()))
 
     class Analyze:
@@ -63,8 +72,11 @@ def prep_corpus(
                 ["doc_id", "lang_pred", "n_tokens", "n_tokens_bpe", "quality"]
             )
 
-    return docs.map_batches(
+    out = docs.map_batches(
         Analyze, fn_constructor_args=(drop_ref,),
         batch_format="pyarrow", zero_copy_batch=True,
         concurrency=(1, int(ray.cluster_resources().get("CPU", 8))),
     )
+    for d in drop_datasets:
+        out = _apply_drop(out, d, "doc_id")
+    return out

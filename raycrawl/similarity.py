@@ -338,11 +338,14 @@ def embedding_neardup(sf_dir: str, threshold: float = 0.97):
     """Embedding-cosine near-dup keep-list: pairs above threshold found by
     per-batch matmul against the broadcast corpus matrix (OK to broadcast:
     D=64 floats/vec; the 10^10-scale path is LSH bucketing as above).
-    Returns the kept vec_ids as a DATASET — the drop set (bounded by dup
-    density) is broadcast and applied as a distributed filter."""
+    Returns the kept vec_ids as a DATASET — the drop set is broadcast
+    below the size caps, else computed by distributed min-label
+    propagation and applied as an anti-join (dedup._components_drop_ds /
+    _apply_drop: the repo-wide hybrid size dispatch)."""
     import pyarrow.parquet as pq
 
-    from raycrawl.dedup import _components_drop, _drop_in_fn
+    from raycrawl import dedup as _dd
+    from raycrawl import ioutil
 
     path = os.path.join(sf_dir, "embeddings.parquet")
     full = pq.read_table(path, columns=["vec_id", "embedding"])
@@ -366,15 +369,22 @@ def embedding_neardup(sf_dir: str, threshold: float = 0.97):
         )
 
     ds = rd.read_parquet(path, columns=["vec_id", "embedding"])
-    pairs_ds = ds.map_batches(
-        pairs_fn, batch_format="pyarrow", zero_copy_batch=True,
+    pairs_ds = ioutil.nonempty_blocks(
+        ds.map_batches(
+            pairs_fn, batch_format="pyarrow", zero_copy_batch=True,
+        ).materialize(),
+        _dd._PAIR_SCHEMA,
     )
-    pairs = [(r["a"], r["b"]) for r in pairs_ds.take_all()]
-    drop = _components_drop(pairs)
-    dref = ray.put(pa.array(sorted(drop), pa.int64()))
-    return rd.read_parquet(path, columns=["vec_id"]).map_batches(
-        _drop_in_fn(dref, "vec_id"),
-        batch_format="pyarrow", zero_copy_batch=True,
+    # pairs are verified at generation (cosine >= threshold); hybrid size
+    # dispatch on the component step — see dedup module docstring
+    if pairs_ds.count() <= _dd.PAIR_ROWS_DRIVER_MAX:
+        drop = _dd._components_drop(
+            [(r["a"], r["b"]) for r in pairs_ds.take_all()]
+        )
+    else:
+        drop = _dd._components_drop_ds(pairs_ds)
+    return _dd._apply_drop(
+        rd.read_parquet(path, columns=["vec_id"]), drop, "vec_id"
     )
 
 
@@ -395,14 +405,16 @@ def embedding_neardup_lsh(
     bands give up. The defaults are pinned (pyoracle imports them) and
     right for the test corpora; the knob changes candidate recall, not
     verification (cosine >= threshold is always exact on the pinned
-    planes for the chosen shape). The verified-pair DROP set (bounded by
-    dup density) broadcasts back as a distributed filter — same output
+    planes for the chosen shape). The verified-pair DROP set applies as a
+    broadcast filter below the size caps, else via distributed min-label
+    propagation + anti-join (the hybrid dispatch in dedup) — same output
     contract as `embedding_neardup` (recall tested on planted dups;
     exact equality is not guaranteed, which is why the brute-force
     variant remains the small-scale default)."""
     import pandas as pd
 
-    from raycrawl.dedup import _components_drop, _drop_in_fn
+    from raycrawl import dedup as _dd
+    from raycrawl import ioutil
 
     path = os.path.join(sf_dir, "embeddings.parquet")
     planes = (
@@ -481,12 +493,21 @@ def embedding_neardup_lsh(
             batch_format="pyarrow", zero_copy_batch=True,
         )
         .groupby("part")
-        .map_groups(partition_pairs, batch_format="pandas")
+        .map_groups(
+            lambda g: _dd._pairs_arrow(partition_pairs(g)), batch_format="pandas"
+        )
     )
-    pairs = {(int(r["a"]), int(r["b"])) for r in pairs_ds.take_all()}
-    drop = _components_drop(sorted(pairs))
-    dref = ray.put(pa.array(sorted(drop), pa.int64()))
-    return rd.read_parquet(path, columns=["vec_id"]).map_batches(
-        _drop_in_fn(dref, "vec_id"),
-        batch_format="pyarrow", zero_copy_batch=True,
+    # verified at generation; bands can emit the same pair up to `bands`
+    # times, so distinct before the component-step size dispatch
+    pairs_ds = ioutil.nonempty_blocks(
+        _dd._distinct_pairs_ds(pairs_ds).materialize(), _dd._PAIR_SCHEMA
+    )
+    if pairs_ds.count() <= _dd.PAIR_ROWS_DRIVER_MAX:
+        drop = _dd._components_drop(
+            sorted((int(r["a"]), int(r["b"])) for r in pairs_ds.take_all())
+        )
+    else:
+        drop = _dd._components_drop_ds(pairs_ds)
+    return _dd._apply_drop(
+        rd.read_parquet(path, columns=["vec_id"]), drop, "vec_id"
     )
