@@ -106,3 +106,20 @@ def test_pagerank_distributed_corpus(ray_session, smoke_corpus):
     assert set(got) == set(want)
     for h in got:
         assert got[h] == pytest.approx(want[h], rel=1e-9)
+
+
+def test_host_pagerank_dispatch_forced_distributed(
+    ray_session, smoke_corpus, monkeypatch
+):
+    """The size dispatch (EDGE_ROWS_DRIVER_MAX, VERDICT r4 #3): forcing the
+    distributed path through the public host_pagerank surface must agree
+    with the driver path to float tolerance (bit-identity is the driver
+    path's contract only — float accumulation order differs)."""
+    want = graphrank.host_pagerank(smoke_corpus)
+    monkeypatch.setattr(graphrank, "EDGE_ROWS_DRIVER_MAX", -1)
+    got = graphrank.host_pagerank(smoke_corpus)
+    wd = dict(zip(want["host"].to_pylist(), want["rank"].to_pylist()))
+    gd = dict(zip(got["host"].to_pylist(), got["rank"].to_pylist()))
+    assert set(wd) == set(gd)
+    for h in wd:
+        assert gd[h] == pytest.approx(wd[h], rel=1e-9)
