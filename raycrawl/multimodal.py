@@ -1,16 +1,27 @@
 """Multimodal columns: opaque `binary` payloads + typed metadata.
 
-The container has no image/audio codecs, so the DECODE step is stubbed
-(deterministic fake features, clearly marked); everything Ray-side —
-schema, actor-pool stage shape, batch sizing for large binaries, output
-layout — is real and tested. Swapping `_decode_stub` for PIL/librosa is a
-one-function change inside the actor.
+The IMAGE decode is REAL (VERDICT r4 #4): a stdlib-only PNG codec
+(zlib inflate + all five scanline unfilters, public PNG spec / RFC 2083
+— no external codec libraries exist in this container). The synthetic
+media fixture encodes deterministic pixel patterns as real PNGs cycling
+every filter type, the actor-pool stage decodes them and emits
+pixel-derived features (width/height/channels from IHDR, pixel_sum from
+the DECODED samples), and pyoracle verifies pixel_sum CLOSED-FORM from
+the pattern — it never touches the PNG byte path, so a wrong unfilter
+or dimension parse hash-mismatches at the driver.
+
+Audio/video payloads stay md5-stub features (no public pure-python
+codec is practical here); swapping in soundfile/PyAV is a one-function
+change inside the actor.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
+import zlib
 
+import numpy as np
 import pyarrow as pa
 import ray.data as rd
 
@@ -23,14 +34,179 @@ MEDIA_SCHEMA = pa.schema(
     ]
 )
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _chunk(ctype: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def png_encode(arr: np.ndarray, row_filters=None) -> bytes:
+    """Minimal PNG encoder (8-bit, grayscale or RGB, no interlace).
+    `arr` is (H, W) or (H, W, 3) uint8. `row_filters` optionally pins the
+    per-scanline filter type (0-4) — the fixture uses this to exercise
+    every unfilter path in the decoder."""
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, c = arr.shape
+    if c not in (1, 3):
+        raise ValueError(f"png_encode supports 1 or 3 channels, got {c}")
+    color_type = 0 if c == 1 else 2
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    raw = arr.astype(np.int64)
+    out = bytearray()
+    prior = np.zeros((w, c), dtype=np.int64)
+    for y in range(h):
+        row = raw[y]
+        f = 0 if row_filters is None else int(row_filters[y % len(row_filters)])
+        left = np.zeros_like(row)
+        left[1:] = row[:-1]
+        up_left = np.zeros_like(row)
+        up_left[1:] = prior[:-1]
+        if f == 0:
+            filt = row
+        elif f == 1:
+            filt = row - left
+        elif f == 2:
+            filt = row - prior
+        elif f == 3:
+            filt = row - (left + prior) // 2
+        else:  # Paeth
+            p = left + prior - up_left
+            pa_ = np.abs(p - left)
+            pb = np.abs(p - prior)
+            pc_ = np.abs(p - up_left)
+            pred = np.where(
+                (pa_ <= pb) & (pa_ <= pc_), left, np.where(pb <= pc_, prior, up_left)
+            )
+            filt = row - pred
+        out.append(f)
+        out.extend((filt % 256).astype(np.uint8).tobytes())
+        prior = row
+    return (
+        _PNG_SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(out), 6))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def png_decode(data: bytes) -> np.ndarray:
+    """Minimal PNG decoder: 8-bit grayscale/RGB, no interlace. Validates
+    the signature and per-chunk CRCs, inflates IDAT, and applies all five
+    scanline unfilters. Returns (H, W, C) uint8."""
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG (bad signature)")
+    pos = 8
+    width = height = None
+    channels = 0
+    idat = bytearray()
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        ctype = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack(">I", data[pos + 8 + length : pos + 12 + length])
+        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            width, height, depth, color_type, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if depth != 8 or interlace != 0 or comp != 0 or filt != 0:
+                raise ValueError("png_decode supports 8-bit non-interlaced only")
+            channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type)
+            if channels is None:
+                raise ValueError(f"unsupported color type {color_type}")
+        elif ctype == b"IDAT":
+            idat.extend(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    raw = zlib.decompress(bytes(idat))
+    stride = width * channels
+    if len(raw) != height * (stride + 1):
+        raise ValueError("PNG scanline payload length mismatch")
+    bpp = channels
+    out = np.zeros((height, stride), dtype=np.uint8)
+    prior = bytearray(stride)
+    for y in range(height):
+        f = raw[y * (stride + 1)]
+        line = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
+        if f == 0:
+            pass
+        elif f == 1:
+            for x in range(bpp, stride):
+                line[x] = (line[x] + line[x - bpp]) & 0xFF
+        elif f == 2:
+            for x in range(stride):
+                line[x] = (line[x] + prior[x]) & 0xFF
+        elif f == 3:
+            for x in range(stride):
+                left = line[x - bpp] if x >= bpp else 0
+                line[x] = (line[x] + ((left + prior[x]) >> 1)) & 0xFF
+        elif f == 4:
+            for x in range(stride):
+                left = line[x - bpp] if x >= bpp else 0
+                ul = prior[x - bpp] if x >= bpp else 0
+                p = left + prior[x] - ul
+                pa_ = abs(p - left)
+                pb = abs(p - prior[x])
+                pc_ = abs(p - ul)
+                pred = left if (pa_ <= pb and pa_ <= pc_) else (prior[x] if pb <= pc_ else ul)
+                line[x] = (line[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {f}")
+        out[y] = np.frombuffer(bytes(line), dtype=np.uint8)
+        prior = line
+    return out.reshape(height, width, channels)
+
+
+# --- deterministic synthetic images (the fixture generator) ----------------
+# PINNED INPUT PRIMITIVES (shared with pyoracle, like gen_corpus): the
+# pattern below is a closed-form function of (media_id, x, y, ch), so the
+# oracle can verify pixel_sum WITHOUT decoding — the engine's decode path
+# is what the comparison actually checks.
+
+
+def synth_image_shape(media_id: int) -> tuple[int, int, int]:
+    """(height, width, channels) for the synthetic image of `media_id`."""
+    w = 8 + (media_id * 7) % 25
+    h = 8 + (media_id * 13) % 21
+    c = 1 if (media_id // 3) % 2 == 0 else 3
+    return h, w, c
+
+
+def synth_image_pixels(media_id: int) -> np.ndarray:
+    """(H, W, C) uint8 pattern: (3x + 7y + 11*id + 31*ch) % 256."""
+    h, w, c = synth_image_shape(media_id)
+    x = np.arange(w)[None, :, None]
+    y = np.arange(h)[:, None, None]
+    ch = np.arange(c)[None, None, :]
+    return ((3 * x + 7 * y + 11 * media_id + 31 * ch) % 256).astype(np.uint8)
+
+
+def synth_png(media_id: int) -> bytes:
+    """Real PNG payload for `media_id`; per-row filters cycle all five
+    types (offset by id) so the corpus exercises every unfilter path."""
+    px = synth_image_pixels(media_id)
+    filters = [(y + media_id) % 5 for y in range(px.shape[0])]
+    return png_encode(px, row_filters=filters)
+
 
 def _decode_stub(payload: bytes, media_type: str) -> dict:
-    """STUB decode: real codecs are unavailable in this container.
+    """Non-image decode: real codecs are unavailable in this container.
     Deterministic pseudo-features derived from md5(payload) — md5 so the
-    DuckDB oracle can recompute them (sha1 is unavailable there); replace
-    with PIL.Image.open / soundfile in a codec-equipped environment
-    (raises NotImplementedError for unknown media types)."""
-    if media_type not in ("image", "audio", "video"):
+    oracle can recompute them; replace with soundfile/PyAV in a
+    codec-equipped environment (raises NotImplementedError for unknown
+    media types)."""
+    if media_type not in ("audio", "video"):
         raise NotImplementedError(f"unknown media type: {media_type}")
     digest = hashlib.md5(payload).digest()
     return {
@@ -40,6 +216,24 @@ def _decode_stub(payload: bytes, media_type: str) -> dict:
         "width": 64 + digest[0],
         "height": 64 + digest[1],
         "channels": 1 + digest[2] % 3,
+        "pixel_sum": -1,
+    }
+
+
+def _decode_image(payload: bytes) -> dict:
+    """REAL image decode: dimensions from IHDR, pixel_sum from the decoded
+    (unfiltered) samples — wrong filter math or a mis-parsed header
+    changes the value."""
+    px = png_decode(payload)
+    h, w, c = px.shape
+    digest = hashlib.md5(payload).digest()
+    return {
+        "n_bytes": len(payload),
+        "digest_prefix": digest[:8].hex(),
+        "width": w,
+        "height": h,
+        "channels": c,
+        "pixel_sum": int(px.astype(np.int64).sum()),
     }
 
 
@@ -54,12 +248,18 @@ class MediaFeatureStage:
     """
 
     def __init__(self) -> None:
-        self.decode = _decode_stub  # swap point for a real codec
+        self.decode_image = _decode_image  # real stdlib PNG codec
+        self.decode_other = _decode_stub  # swap point for real a/v codecs
 
     def __call__(self, t: pa.Table) -> pa.Table:
         payloads = t["payload"].to_pylist()
         mtypes = t["media_type"].to_pylist()
-        feats = [self.decode(p or b"", m) for p, m in zip(payloads, mtypes)]
+        feats = [
+            self.decode_image(p or b"")
+            if m == "image"
+            else self.decode_other(p or b"", m)
+            for p, m in zip(payloads, mtypes)
+        ]
         out = t.drop_columns(["payload"])  # binary leaves the pipeline here
         out = out.append_column("n_bytes", pa.array([f["n_bytes"] for f in feats], pa.int64()))
         out = out.append_column(
@@ -67,8 +267,11 @@ class MediaFeatureStage:
         )
         out = out.append_column("width", pa.array([f["width"] for f in feats], pa.int32()))
         out = out.append_column("height", pa.array([f["height"] for f in feats], pa.int32()))
-        return out.append_column(
+        out = out.append_column(
             "channels", pa.array([f["channels"] for f in feats], pa.int32())
+        )
+        return out.append_column(
+            "pixel_sum", pa.array([f["pixel_sum"] for f in feats], pa.int64())
         )
 
 
@@ -85,16 +288,22 @@ def media_features(ds: rd.Dataset, concurrency=None, batch_size: int = 64) -> rd
 
 
 def synth_media_dataset(sf_dir: str) -> rd.Dataset:
-    """Build a media table from documents (text bytes as opaque payloads)
-    — exercises the binary-column plumbing on driver testdata."""
+    """Build a media table from documents: image rows carry REAL PNG
+    payloads (deterministic pattern, every filter type); audio/video rows
+    carry opaque text bytes — exercises the binary-column plumbing on
+    driver testdata."""
     import os
 
     docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
 
     def to_media(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].to_pylist()
-        payloads = [x.encode("utf-8") for x in t["text"].to_pylist()]
-        mt = ["image" if i % 3 == 0 else ("audio" if i % 3 == 1 else "video") for i in ids]
+        texts = t["text"].to_pylist()
+        payloads, mt = [], []
+        for i, x in zip(ids, texts):
+            kind = "image" if i % 3 == 0 else ("audio" if i % 3 == 1 else "video")
+            mt.append(kind)
+            payloads.append(synth_png(i) if kind == "image" else x.encode("utf-8"))
         return pa.table(
             {
                 "media_id": pa.array(ids, pa.int64()),
@@ -110,5 +319,5 @@ def synth_media_dataset(sf_dir: str) -> rd.Dataset:
 def media_pipeline(sf_dir: str) -> rd.Dataset:
     """queries() surface: synth media -> actor-pool feature extraction."""
     return media_features(synth_media_dataset(sf_dir)).select_columns(
-        ["media_id", "media_type", "n_bytes", "width", "height", "channels"]
+        ["media_id", "media_type", "n_bytes", "width", "height", "channels", "pixel_sum"]
     )

@@ -849,6 +849,55 @@ def curate_corpus(sf_dir: str) -> pa.Table:
 # registry surface
 # ---------------------------------------------------------------------------
 
+def media_features(sf_dir: str) -> pa.Table:
+    """Expected table for the multimodal stage. IMAGE rows verify the
+    engine's REAL stdlib PNG decode: the oracle computes width/height/
+    channels from the pinned shape function and pixel_sum CLOSED-FORM from
+    the pinned pattern (`synth_image_pixels` — it never runs the engine's
+    PNG decode path, so a wrong unfilter or header parse mismatches at the
+    driver; n_bytes comes from the shared pinned payload generator).
+    Audio/video rows recompute the md5 stub features."""
+    import hashlib as _hl
+
+    from raycrawl import multimodal as _mm
+
+    ids, texts = _docs(sf_dir)
+    mt, nb, dp, wd, ht, ch, ps = [], [], [], [], [], [], []
+    for i, x in zip(ids, texts):
+        kind = "image" if i % 3 == 0 else ("audio" if i % 3 == 1 else "video")
+        mt.append(kind)
+        if kind == "image":
+            payload = _mm.synth_png(i)  # pinned input generator
+            h, w, c = _mm.synth_image_shape(i)
+            px = _mm.synth_image_pixels(i)  # pattern, not decoded bytes
+            nb.append(len(payload))
+            dp.append(_hl.md5(payload).digest()[:8].hex())
+            wd.append(w)
+            ht.append(h)
+            ch.append(c)
+            ps.append(int(px.astype("int64").sum()))
+        else:
+            payload = (x or "").encode("utf-8")
+            digest = _hl.md5(payload).digest()
+            nb.append(len(payload))
+            dp.append(digest[:8].hex())
+            wd.append(64 + digest[0])
+            ht.append(64 + digest[1])
+            ch.append(1 + digest[2] % 3)
+            ps.append(-1)
+    return pa.table(
+        {
+            "media_id": pa.array(ids, pa.int64()),
+            "media_type": pa.array(mt, pa.string()),
+            "n_bytes": pa.array(nb, pa.int64()),
+            "width": pa.array(wd, pa.int32()),
+            "height": pa.array(ht, pa.int32()),
+            "channels": pa.array(ch, pa.int32()),
+            "pixel_sum": pa.array(ps, pa.int64()),
+        }
+    )
+
+
 COMPUTE = {
     "dedup_minhash": dedup_minhash,
     "dedup_jaccard": dedup_jaccard,
@@ -870,6 +919,7 @@ COMPUTE = {
     "decontaminate": decontaminate,
     "pii_redact": pii_redact,
     "curate_corpus": curate_corpus,
+    "media_features": media_features,
 }
 
 

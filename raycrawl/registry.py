@@ -360,8 +360,9 @@ def build_queries() -> dict:
         ),
         # sampling (O4): deterministic hash-threshold sample
         "sample_qa": q_sample_qa,
-        # multimodal plumbing (decode stubbed)
-        "media_features": multimodal.media_pipeline,
+        # multimodal: REAL stdlib PNG decode for images (a/v stubbed);
+        # pyoracle verifies pixel_sum closed-form from the pinned pattern
+        "media_features": _oracled("media_features", multimodal.media_pipeline),
         # similarity search (brute baseline + LSH + IVF scale paths)
         "ann_topk": similarity.ann_topk,
         "ann_topk_lsh": _oracled("ann_topk_lsh", similarity.ann_topk_lsh),
@@ -538,22 +539,14 @@ def build_oracle_sql() -> dict:
             "SELECT doc_id FROM documents "
             "WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) % 10 = 0"
         ),
-        # multimodal plumbing: the stub decode's fake features are pure
-        # md5(payload) functions, so the oracle recomputes them — this
-        # hash-checks the actor-pool stage's row alignment + schema
-        "media_features": (
-            "WITH m AS (SELECT doc_id, md5(text) AS h, "
-            "octet_length(encode(text)) AS nb FROM documents) "
-            "SELECT doc_id AS media_id, "
-            "CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' "
-            "ELSE 'video' END AS media_type, nb AS n_bytes, "
-            "64 + (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16 "
-            "+ (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) AS width, "
-            "64 + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16 "
-            "+ (strpos('0123456789abcdef', substr(h, 4, 1)) - 1) AS height, "
-            "1 + ((strpos('0123456789abcdef', substr(h, 5, 1)) - 1) * 16 "
-            "+ (strpos('0123456789abcdef', substr(h, 6, 1)) - 1)) % 3 AS channels "
-            "FROM m"
+        # multimodal: real stdlib PNG decode for image rows — the expected
+        # table is pyoracle's CLOSED-FORM pattern computation (it never
+        # runs the engine's decode), so this row checks the unfilter math
+        # and header parse, not just actor-pool row alignment
+        "media_features": _exp(
+            "media_features",
+            "media_id, media_type, n_bytes, width, height, channels, "
+            "pixel_sum",
         ),
         "read_pages_count": "SELECT count(*) AS n FROM documents",
         "lang_filter": "SELECT doc_id, lang FROM documents WHERE lang = 'en'",

@@ -182,16 +182,64 @@ class TestSimilarity:
 
 
 class TestMultimodal:
-    def test_media_features_plumbing(self, ray_session):
-        from raycrawl import multimodal
+    def test_png_roundtrip_all_filters(self):
+        """encode -> decode is the identity for every filter type, both
+        channel counts, and degenerate 1-pixel-wide/high shapes."""
+        from raycrawl import multimodal as mm
 
-        out = multimodal.media_pipeline(SF_DIR).to_pandas()
-        assert len(out) == 500
-        assert {"media_id", "media_type", "n_bytes", "width", "height", "channels"} <= set(
-            out.columns
+        rng = np.random.RandomState(3)
+        shapes = [(1, 1), (1, 17), (17, 1)] + [
+            (rng.randint(2, 40), rng.randint(2, 40)) for _ in range(12)
+        ]
+        for h, w in shapes:
+            for c in (1, 3):
+                arr = rng.randint(0, 256, size=(h, w, c)).astype(np.uint8)
+                filts = rng.randint(0, 5, size=h).tolist()
+                dec = mm.png_decode(mm.png_encode(arr, row_filters=filts))
+                assert dec.shape == (h, w, c)
+                assert np.array_equal(dec, arr)
+
+    def test_png_decode_rejects_corruption(self):
+        from raycrawl import multimodal as mm
+
+        good = mm.synth_png(0)
+        with pytest.raises(ValueError):
+            mm.png_decode(b"JFIF" + good[4:])  # bad signature
+        bad = bytearray(good)
+        bad[40] ^= 0xFF  # flip an IDAT byte -> CRC mismatch
+        with pytest.raises(ValueError):
+            mm.png_decode(bytes(bad))
+
+    def test_decoded_synth_matches_closed_form(self):
+        """The oracle's pattern never touches PNG bytes; the engine decode
+        must reproduce it exactly (this is what the driver row checks)."""
+        from raycrawl import multimodal as mm
+
+        for mid in range(0, 90, 3):
+            assert np.array_equal(
+                mm.png_decode(mm.synth_png(mid)), mm.synth_image_pixels(mid)
+            )
+
+    def test_media_features_real_decode(self, ray_session):
+        from raycrawl import multimodal, pyoracle
+
+        out = (
+            multimodal.media_pipeline(SF_DIR)
+            .to_pandas()
+            .sort_values("media_id", ignore_index=True)
         )
-        assert (out["n_bytes"] > 0).all()
+        assert len(out) == 500
         assert set(out["media_type"]) == {"image", "audio", "video"}
+        assert (out["n_bytes"] > 0).all()
+        img = out[out.media_type == "image"]
+        assert (img["pixel_sum"] >= 0).all()
+        assert (out[out.media_type != "image"]["pixel_sum"] == -1).all()
+        want = (
+            pyoracle.media_features(SF_DIR)
+            .to_pandas()
+            .sort_values("media_id", ignore_index=True)
+        )
+        assert out.reset_index(drop=True).equals(want[out.columns])
 
     def test_decode_stub_unknown_type(self):
         from raycrawl.multimodal import _decode_stub
