@@ -208,7 +208,9 @@ def _line_dedup_rewrite_fn(winners_ref, gate=None):
 # payload plus a per-actor dict — measured-fast); above it the winners stay
 # a Dataset and the rewrite goes through the distributed join path, so NO
 # driver-side materialization grows with corpus size.
-LINE_DEDUP_DRIVER_MAX = 1_000_000
+from raycrawl.dedup import _env_int
+
+LINE_DEDUP_DRIVER_MAX = _env_int("RAYCRAWL_LINE_DEDUP_DRIVER_MAX", 1_000_000)
 
 
 def dedup_lines(sf_dir: str) -> rd.Dataset:

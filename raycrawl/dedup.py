@@ -261,8 +261,20 @@ def _components_keep(all_ids: list[int], pairs: list[tuple[int, int]]) -> list[i
 # fixed all-to-all floor per exchange on this cluster); above them the
 # pair Dataset never leaves the cluster.
 
-PAIR_ROWS_DRIVER_MAX = 2_000_000  # verified/candidate pairs pulled to driver below this
-DROP_BROADCAST_MAX = 4_000_000  # drop ids applied via ray.put is_in below this
+def _env_int(name: str, default: int) -> int:
+    """Env-overridable dispatch threshold (VERDICT r4 #7: lets conformance
+    exercise the distributed paths against the same oracle SQL without
+    monkeypatching — e.g. RAYCRAWL_PAIR_DRIVER_MAX=-1)."""
+    try:
+        return int(os.environ.get(name, default))
+    except ValueError:
+        return default
+
+
+# verified/candidate pairs pulled to driver below this
+PAIR_ROWS_DRIVER_MAX = _env_int("RAYCRAWL_PAIR_DRIVER_MAX", 2_000_000)
+# drop ids applied via ray.put is_in below this
+DROP_BROADCAST_MAX = _env_int("RAYCRAWL_DROP_BROADCAST_MAX", 4_000_000)
 
 _PAIR_SCHEMA = pa.schema([("a", pa.int64()), ("b", pa.int64())])
 _CAND_SCHEMA = pa.schema(
@@ -567,7 +579,7 @@ def _read_docs(sf_dir: str) -> rd.Dataset:
 # in tens of ms. Above the threshold the banding shuffle is the scale
 # path. Bucket semantics (bkey function, per-bucket cap, dropped
 # markers) are byte-identical on both paths (equivalence-tested).
-BAND_ROWS_DRIVER_MAX = 2_000_000
+BAND_ROWS_DRIVER_MAX = _env_int("RAYCRAWL_BAND_DRIVER_MAX", 2_000_000)
 
 
 def _lsh_candidate_pairs(sigs: rd.Dataset):

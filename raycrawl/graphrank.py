@@ -124,7 +124,9 @@ def pagerank(edges, damping: float = 0.85, n_iter: int = 20) -> dict[str, float]
 # keeps the edge Dataset on the cluster; ranks then match the driver path
 # to ~1e-12 relative (float accumulation order), not bit-for-bit —
 # equivalence-tested in tests/test_graphrank.py.
-EDGE_ROWS_DRIVER_MAX = 5_000_000
+from raycrawl.dedup import _env_int as _thr_env
+
+EDGE_ROWS_DRIVER_MAX = _thr_env("RAYCRAWL_EDGE_DRIVER_MAX", 5_000_000)
 
 
 def host_pagerank(corpus_dir: str, damping: float = 0.85, n_iter: int = 20) -> pa.Table:

@@ -398,7 +398,9 @@ class _TfidfScore:
 # above it the vocabulary stays a Dataset and scoring runs through the
 # distributed join path. Web-scale vocabularies are hapax-heavy, so the
 # exact df==1 prune below typically halves the table before this check.
-TFIDF_DRIVER_MAX = 2_000_000
+from raycrawl.dedup import _env_int as _thr_env
+
+TFIDF_DRIVER_MAX = _thr_env("RAYCRAWL_TFIDF_DRIVER_MAX", 2_000_000)
 
 _VOCAB_SCHEMA = pa.schema([("word", pa.string()), ("df", pa.int64())])
 
