@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import codecs
 import hashlib
+import logging
 import re
 from dataclasses import dataclass, field
 from html.parser import HTMLParser
@@ -193,19 +194,42 @@ class _TextExtractor(HTMLParser):
             self.parts.append(data)
 
 
-def _feed_lenient(p: HTMLParser, doc: str) -> None:
+# Truncation observability (r5 ADVICE): the truncate-at-error rule below
+# is pinned semantics, but a bug later introduced in a handle_* method
+# would silently truncate extraction corpus-wide if the swallow were
+# invisible. Every process counts truncations and logs a rate-limited
+# WARNING (first, then each 10_000th) to its own stderr — visible in Ray
+# worker logs without perturbing the pinned counters/goldens.
+_truncations = 0
+
+
+def truncation_count() -> int:
+    """Hard-parser-error truncations seen by THIS process (per Ray
+    worker; the driver sees its own local count only)."""
+    return _truncations
+
+
+def _feed_lenient(p: HTMLParser, doc: str) -> bool:
     """feed + close, tolerating the stdlib parser's HARD errors on
     malformed markup (real-web bytes hit them: '<![' followed by binary
     noise raises AssertionError from _markupbase's marked-section scan).
     Pinned rule: a hard parser error truncates the parse AT the
     malformation — everything extracted before it is kept. The parse is
     deterministic up to the raise, so engine and pyref (which share this
-    function) agree byte-for-byte."""
+    function) agree byte-for-byte. Returns True when truncated."""
+    global _truncations
     try:
         p.feed(doc)
         p.close()
-    except (AssertionError, NotImplementedError, ValueError):
-        pass
+        return False
+    except (AssertionError, NotImplementedError, ValueError) as exc:
+        _truncations += 1
+        if _truncations == 1 or _truncations % 10_000 == 0:
+            logging.getLogger("raycrawl.extract").warning(
+                "lenient-parse truncation #%d (%s: %s)",
+                _truncations, type(exc).__name__, exc,
+            )
+        return True
 
 
 def extract_text_str(html_utf8: str) -> str:
@@ -349,13 +373,15 @@ def parse_robots(body: str) -> RobotsRules:
                     disallow.append(val)
             elif key == "crawl-delay":
                 try:
-                    # OverflowError: 'Crawl-delay: inf'/'1e308' must not
-                    # crash the robots load; clamp to a day, floor at 0
-                    # (negative delays are meaningless)
-                    crawl_delay_ms = max(
-                        0, min(86_400_000, int(float(val) * 1000))
-                    )
-                except (ValueError, OverflowError):
+                    # Clamp BEFORE int(): 'inf'/'1e308' would raise
+                    # OverflowError inside int() and be silently ignored,
+                    # while finite-large values clamped — inconsistent.
+                    # Pinned: any parseable float clamps to [0, 1 day]
+                    # (NaN -> 0: the nan > 0.0 comparison is False, so
+                    # max keeps 0.0); unparseable text stays ignored.
+                    f = min(86_400.0, max(0.0, float(val)))
+                    crawl_delay_ms = int(f * 1000)
+                except ValueError:
                     pass
     return RobotsRules(tuple(disallow), crawl_delay_ms)
 

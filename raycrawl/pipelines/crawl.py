@@ -220,13 +220,25 @@ _SNAP_PARTS = 64  # url_hash partitions for the per-round snapshot pick
 def _latest_snapshot_part(g: pd.DataFrame) -> pd.DataFrame:
     """J5 on ONE url_hash partition of the matched subset: keep the
     max-warc_ts row per url. Partition-wise (one Python call per
-    partition, not per matched url): stable sort (url, warc_ts desc) +
-    first-per-url keeps the FIRST occurrence of the max ts — the same
-    winner idxmax picked per group (ties are order-dependent in the
-    reference semantics too; see the cache-build tie fallback)."""
-    g = g.sort_values(
-        ["url", "warc_ts"], ascending=[True, False], kind="mergesort"
-    )
+    partition, not per matched url). Ties on warc_ts break by the pinned
+    pyref._snap_tiekey rule — smallest (html, content_type), nulls as
+    '' — so the winner is order-independent across Ray block layouts
+    (r5 ADVICE fix; rows equal on all four keys are downstream-
+    indistinguishable, the other matched columns ride on the frontier
+    url, not the snapshot)."""
+    g = g.reset_index(drop=True)
+    keys = ["url", "warc_ts", "html"]
+    asc = [True, False, True]
+    sk = g  # sort-key view: nulls -> b''/'' for the tiekey columns ONLY —
+    if g["html"].isna().any():  # the winner row keeps its original nulls
+        sk = sk.assign(html=sk["html"].fillna(b""))
+    if "content_type" in g.columns:
+        keys.append("content_type")
+        asc.append(True)
+        if sk["content_type"].isna().any():
+            sk = sk.assign(content_type=sk["content_type"].fillna(""))
+    pos = sk.sort_values(keys, ascending=asc, kind="mergesort").index.to_numpy()
+    g = g.take(pos)
     return g[~g["url"].duplicated()].drop(columns=["snap_part"])
 
 
@@ -663,8 +675,8 @@ def run_crawl_ray(
             # (url, warc_ts) pairs come from a tiny html-free projection on
             # the driver, then one broadcast-filter map — so no per-round
             # groupby is needed on the matched set. (Snapshot timestamps
-            # are unique per url; a tie would be order-dependent in the
-            # reference semantics too.)
+            # are unique per url in practice; tied corpora fall back below
+            # to the per-round pick, which applies the pinned tie rule.)
             # Only multi-snapshot urls (~5%) need filtering — broadcast just
             # {dup_url: max_ts}, not a corpus-sized pair set.
             kt = pq.read_table(pages_path, columns=["url", "warc_ts"])
@@ -672,9 +684,9 @@ def run_crawl_ray(
             counts = kdf.groupby("url")["url"].transform("size")
             dups = kdf[counts > 1]
             dup_max = dups.groupby("url")["warc_ts"].max()
-            # ties at the max ts would make "ts == max" keep >1 row per url,
-            # diverging from pyref's single snapshot_pick winner — fall back
-            # to the per-round groupby pick (cache the raw corpus only).
+            # ties at the max ts would make "ts == max" keep >1 row per url
+            # (the hoisted filter has no tiebreak) — fall back to the
+            # per-round groupby pick, which applies pyref._snap_tiekey.
             ts_ties = bool(
                 len(dups)
                 and dups.set_index("url")["warc_ts"].eq(dup_max).groupby(level=0).sum().gt(1).any()

@@ -64,12 +64,32 @@ class CrawlResult:
     rounds_run: int = 0
 
 
+def _snap_tiekey(row: dict) -> tuple:
+    """Deterministic winner among equal-warc_ts snapshots of one url
+    (r5 ADVICE fix: the old first-in-input-order rule made engine==pyref
+    depend on Ray block order on tied corpora). Pinned: smallest
+    (html, content_type) wins, nulls as ''. Rows equal on BOTH are
+    indistinguishable downstream (only url/warc_ts/html/content_type
+    propagate out of the pick), so the rule is total where it matters.
+    html is a BINARY column — nulls map to b'' (never '': mixed
+    str/bytes comparisons raise TypeError)."""
+    return (row.get("html") or b"", row.get("content_type") or "")
+
+
 def snapshot_pick(pages: list[dict]) -> dict[str, dict]:
-    """J5: latest warc_ts per url wins (as-of 'now')."""
+    """J5: latest warc_ts per url wins (as-of 'now'); ties on warc_ts
+    break by _snap_tiekey — order-independent on both engine paths."""
     best: dict[str, dict] = {}
     for row in pages:
         cur = best.get(row["url"])
-        if cur is None or row["warc_ts"] > cur["warc_ts"]:
+        if (
+            cur is None
+            or row["warc_ts"] > cur["warc_ts"]
+            or (
+                row["warc_ts"] == cur["warc_ts"]
+                and _snap_tiekey(row) < _snap_tiekey(cur)
+            )
+        ):
             best[row["url"]] = row
     return best
 

@@ -535,8 +535,6 @@ def _tfidf_join_path(docs: rd.Dataset, vocab: rd.Dataset, k: int) -> rd.Dataset:
     each (doc, term, tf) row its df (null -> hapax, df=1), then a
     doc-keyed groupby takes the per-document top-k. Every shuffled
     payload is (int64, word, int64)-slim; document text never moves."""
-    import ray
-
     import pandas as pd
     import ray
 

@@ -161,10 +161,14 @@ class TestExtractText:
 
     def test_hostile_crawl_delay_clamped_not_raised(self):
         """'Crawl-delay: inf' / '1e308' raised OverflowError and a
-        negative delay went through as a negative quota input. Pinned:
-        unparseable -> 0 (unchanged), parseable clamps to [0, 1 day]."""
-        for v, want in (("inf", 0), ("1e308", 0), ("nan", 0), ("-5", 0),
-                        ("2", 2000), ("999999999", 86_400_000)):
+        negative delay went through as a negative quota input. Pinned
+        (r5, ADVICE fix — clamp the FLOAT before int() so non-finite and
+        overflow-large values behave like finite-large ones): every
+        parseable float clamps to [0, 1 day]; NaN -> 0; unparseable -> 0."""
+        for v, want in (("inf", 86_400_000), ("1e308", 86_400_000),
+                        ("nan", 0), ("-5", 0), ("-inf", 0),
+                        ("2", 2000), ("999999999", 86_400_000),
+                        ("junk", 0)):
             r = core.parse_robots(f"User-agent: *\nCrawl-delay: {v}\n")
             assert r.crawl_delay_ms == want, (v, r.crawl_delay_ms)
 

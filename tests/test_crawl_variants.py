@@ -132,3 +132,69 @@ def test_pagerank_derived_priorities_run(ray_session, smoke_corpus, tmp_path):
     prio = {h: 1 for h in hosts[:5]} | {h: 3 for h in hosts[5:10]}
     cfg = CrawlConfig(max_rounds=2, seen_shards=4, host_priorities=prio)
     _run_and_compare(smoke_corpus, tmp_path, cfg, "rankprio")
+
+
+def test_snapshot_tie_break_pinned(ray_session, smoke_corpus, tmp_path):
+    """r5 ADVICE fix: among equal-warc_ts snapshots of one url the winner
+    is the pinned smallest-(html, content_type) row — order-independent —
+    on BOTH engines. The planted loser rows sit FIRST in the parquet so
+    the old first-in-input-order pyref rule (and any block-order-dependent
+    engine pick) would select differently: the loser variants carry an
+    extra link to a tie-only page, which would change visits, extracted
+    text AND discovery counters."""
+    import shutil
+
+    import pyarrow as pa
+    from raycrawl.pipelines.crawl import run_crawl_ray
+
+    corpus = str(tmp_path / "tiecorpus")
+    shutil.copytree(smoke_corpus, corpus)
+    import os
+
+    pages = pq.ParquetDataset(f"{corpus}/pages.parquet").read()
+    if os.path.isdir(f"{corpus}/pages.parquet"):
+        shutil.rmtree(f"{corpus}/pages.parquet")
+    seeds_t = pq.read_table(f"{corpus}/seeds.parquet").to_pylist()
+    seed_urls = [r["url"] for r in sorted(seeds_t, key=lambda r: r["rank"])][:3]
+    by_url = {r["url"]: r for r in pages.to_pylist()}
+    losers = []
+    for u in seed_urls:
+        row = dict(by_url[u])
+        # LARGER html (b'~' sorts above every printable tag byte) with an
+        # extra link: if this row ever wins, the crawl diverges loudly.
+        row["html"] = b'~<html><body><a href="/tie-only-page">x</a>' + (
+            row["html"] or b""
+        )
+        losers.append(row)
+    tied = pa.concat_tables(
+        [pa.Table.from_pylist(losers, schema=pages.schema), pages]
+    )
+    pq.write_table(tied, f"{corpus}/pages.parquet")
+
+    cfg = CrawlConfig(max_rounds=3, seen_shards=4)
+    pages_l, robots, seeds = _load_corpus(corpus)
+    oracle = pyref.run_crawl(pages_l, robots, seeds, cfg)
+    # the pinned pyref rule must pick the ORIGINAL (smaller) html: no
+    # tie-only url may be discovered
+    assert not any("tie-only" in r["url"] for r in oracle.visit_order)
+
+    out = str(tmp_path / "tieout")
+    summary = run_crawl_ray(corpus, out, cfg, resume=False)
+    got = _ray_visits(out)
+    want = sorted(
+        oracle.visit_order,
+        key=lambda r: (r["round"], r["priority"], r["host"], r["seq"]),
+    )
+    assert [(r["url"], r["round"], r["seq"], r["status"]) for r in got] == [
+        (r["url"], r["round"], r["seq"], r["status"]) for r in want
+    ]
+    assert _ray_seen(out) == oracle.seen
+    # byte-identity of extracted text through the tie pick
+    from tests.test_crawl_ray import _ray_extracted
+
+    got_x = {(r["round"], r["url"]): r["text"] for r in _ray_extracted(out)}
+    want_x = {(r["round"], r["url"]): r["text"] for r in oracle.extracted}
+    assert got_x == want_x
+    for rc, oc in zip(summary["counters"], oracle.counters):
+        for k in CMP_KEYS:
+            assert rc.get(k, 0) == oc.get(k, 0), (k, rc, oc)
