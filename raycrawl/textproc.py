@@ -294,7 +294,19 @@ def _docs_ds(sf_dir: str) -> rd.Dataset:
 PACK_PART_DOCS = 256  # docs per packing partition; must match the oracle SQL
 
 
-def pack_sequences(sf_dir: str, seq_len: int = CHUNK_SEQ_LEN) -> rd.Dataset:
+# Boundary stitch (mode="stitch"): tails of STITCH_FAN consecutive
+# partitions merge into one stitch group, cutting the waste bound from
+# one partial sequence per PACK_PART_DOCS docs to one per
+# PACK_PART_DOCS * STITCH_FAN (65,536) docs — so packing efficiency no
+# longer degrades with partition count at scale. Tail payloads are tiny
+# (< seq_len tokens each) and never leave the cluster.
+STITCH_FAN = 256
+_STITCH_PARTS = 64  # stitch-group hash partitions (partition-wise rule)
+
+
+def pack_sequences(
+    sf_dir: str, seq_len: int = CHUNK_SEQ_LEN, mode: str = "partition"
+) -> rd.Dataset:
     """Cross-document training-sequence packing (GPT-style concat-and-cut):
     within each deterministic doc_id-range partition (PACK_PART_DOCS docs),
     concatenate token streams in doc_id order and cut fixed seq_len
@@ -302,9 +314,22 @@ def pack_sequences(sf_dir: str, seq_len: int = CHUNK_SEQ_LEN) -> rd.Dataset:
     global greedy packing is inherently sequential, while per-partition
     packing wastes at most one partial tail sequence per partition and
     keeps the only all-to-all a doc_id-range groupby — which is nearly a
-    no-op shuffle when the input is already doc_id-ordered parquet."""
+    no-op shuffle when the input is already doc_id-ordered parquet.
+
+    mode="partition" (default, the oracle-checked surface): the partial
+    tail of each partition is emitted as its last (shorter) sequence.
+    mode="stitch" (VERDICT r4 #8): full windows are identical, but the
+    per-partition tails are re-packed across STITCH_FAN-partition groups
+    (rows carry part = -(stitch_group + 1), seq_idx within the stitched
+    stream), leaving at most one partial sequence per stitch group.
+    Total token count is conserved exactly in both modes
+    (equivalence-tested in tests/test_textproc_dedup.py)."""
+    if mode not in ("partition", "stitch"):
+        raise ValueError(f"unknown pack mode: {mode!r}")
     import pandas as pd
     import pyarrow.compute as pc
+
+    stitch = mode == "stitch"
 
     def pack(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values("doc_id")
@@ -312,16 +337,39 @@ def pack_sequences(sf_dir: str, seq_len: int = CHUNK_SEQ_LEN) -> rd.Dataset:
         for x in df["text"]:
             toks.extend(_split_re2_ws(x))
         part = int(df["part"].iloc[0])
-        n_seq = (len(toks) + seq_len - 1) // seq_len
+        n_full = len(toks) // seq_len
+        n_seq = n_full if stitch else (len(toks) + seq_len - 1) // seq_len
         segs = [toks[i * seq_len : (i + 1) * seq_len] for i in range(n_seq)]
+        out = {
+            "part": [part] * n_seq,
+            "seq_idx": list(range(n_seq)),
+            "n_tokens": [len(s) for s in segs],
+            "tok_hash": [
+                hashlib.md5(" ".join(s).encode()).hexdigest() for s in segs
+            ],
+        }
+        if stitch:
+            # tail row (seq_idx = -1): tokens ride space-joined — tokens
+            # are \s+-split so they contain no space; the join/split
+            # roundtrip is exact. Empty tails are not emitted.
+            tail = toks[n_full * seq_len :]
+            if tail:
+                out["part"].append(part)
+                out["seq_idx"].append(-1)
+                out["n_tokens"].append(len(tail))
+                out["tok_hash"].append("")
+            tails = [""] * n_seq + ([" ".join(tail)] if tail else [])
+            out["tail"] = tails
         return pd.DataFrame(
             {
-                "part": pd.Series([part] * n_seq, dtype="int64"),
-                "seq_idx": pd.Series(range(n_seq), dtype="int64"),
-                "n_tokens": pd.Series([len(s) for s in segs], dtype="int64"),
-                "tok_hash": pd.Series(
-                    [hashlib.md5(" ".join(s).encode()).hexdigest() for s in segs],
-                    dtype="object",
+                "part": pd.Series(out["part"], dtype="int64"),
+                "seq_idx": pd.Series(out["seq_idx"], dtype="int64"),
+                "n_tokens": pd.Series(out["n_tokens"], dtype="int64"),
+                "tok_hash": pd.Series(out["tok_hash"], dtype="object"),
+                **(
+                    {"tail": pd.Series(out["tail"], dtype="object")}
+                    if stitch
+                    else {}
                 ),
             }
         )
@@ -333,7 +381,71 @@ def pack_sequences(sf_dir: str, seq_len: int = CHUNK_SEQ_LEN) -> rd.Dataset:
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    return ds.groupby("part").map_groups(pack, batch_format="pandas")
+    packed = ds.groupby("part").map_groups(pack, batch_format="pandas")
+    if not stitch:
+        return packed
+
+    _OUT_COLS = ["part", "seq_idx", "n_tokens", "tok_hash"]
+
+    def _full_rows(t: pa.Table) -> pa.Table:
+        # fused filter+project (never a bare filter upstream of a
+        # schema-changing step — zero-column empty-block rule, CLAUDE.md)
+        if t.num_columns == 0:
+            return t
+        return t.filter(pc.greater_equal(t["seq_idx"], 0)).select(_OUT_COLS)
+
+    def _tail_rows(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return t
+        t = t.filter(pc.less(t["seq_idx"], 0))
+        sg = pc.divide(t["part"], STITCH_FAN)  # stitch group
+        t = t.append_column("sg", sg)
+        return t.append_column(
+            "stitch_part",
+            pc.cast(
+                pc.bit_wise_and(sg, pa.scalar(_STITCH_PARTS - 1, pa.int64())),
+                pa.int32(),
+            ),
+        )
+
+    def _stitch(df: pd.DataFrame) -> pd.DataFrame:
+        # ONE hash partition of stitch groups: per-group concat of tails
+        # in part order, cut seq_len windows; at most one partial window
+        # per stitch group survives.
+        parts, idxs, ns, hs = [], [], [], []
+        df = df.sort_values(["sg", "part"], kind="mergesort")
+        for sg, grp in df.groupby("sg", sort=False):
+            toks: list[str] = []
+            for s in grp["tail"]:
+                if s:
+                    toks.extend(s.split(" "))
+            n_seq = (len(toks) + seq_len - 1) // seq_len
+            for i in range(n_seq):
+                seg = toks[i * seq_len : (i + 1) * seq_len]
+                parts.append(-(int(sg) + 1))
+                idxs.append(i)
+                ns.append(len(seg))
+                hs.append(hashlib.md5(" ".join(seg).encode()).hexdigest())
+        return pd.DataFrame(
+            {
+                "part": pd.Series(parts, dtype="int64"),
+                "seq_idx": pd.Series(idxs, dtype="int64"),
+                "n_tokens": pd.Series(ns, dtype="int64"),
+                "tok_hash": pd.Series(hs, dtype="object"),
+            }
+        )
+
+    full = packed.map_batches(
+        _full_rows, batch_format="pyarrow", zero_copy_batch=True
+    )
+    stitched = (
+        packed.map_batches(
+            _tail_rows, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("stitch_part")
+        .map_groups(_stitch, batch_format="pandas")
+    )
+    return full.union(stitched)
 
 
 TFIDF_SCALE = 1_000_000  # integer-exact score = tf * SCALE // df

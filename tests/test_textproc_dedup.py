@@ -491,6 +491,72 @@ class TestPackSequences:
         exp = " ".join(t0 + t1[:24])
         assert out["tok_hash"][0] == hashlib.md5(exp.encode()).hexdigest()
 
+    def test_stitch_mode_conserves_tokens_and_merges_tails(
+        self, ray_session, tmp_path
+    ):
+        """VERDICT r4 #8: mode='stitch' re-packs per-partition tails across
+        STITCH_FAN-partition groups — full windows identical, total token
+        count conserved exactly, at most one partial window per stitch
+        group (vs one per partition)."""
+        import hashlib
+
+        from raycrawl import textproc
+
+        # stitch group 0: partition 0 (docs 0,1: 80 toks -> full 64 +
+        # tail 16) and partition 1 (doc 256: 10 toks -> tail 10);
+        # stitch group 1: partition 256 (doc 65536: 70 toks -> full + tail 6)
+        t0 = [f"a{i}" for i in range(40)]
+        t1 = [f"b{i}" for i in range(40)]
+        t2 = [f"c{i}" for i in range(10)]
+        t3 = [f"d{i}" for i in range(70)]
+        sf = _write_doc_table(
+            tmp_path,
+            [0, 1, 256, 65536],
+            [" ".join(t0), " ".join(t1), " ".join(t2), " ".join(t3)],
+        )
+        part_mode = textproc.pack_sequences(sf).to_pandas()
+        stitch = (
+            textproc.pack_sequences(sf, mode="stitch")
+            .to_pandas()
+            .sort_values(["part", "seq_idx"])
+            .reset_index(drop=True)
+        )
+        # exact token conservation across modes
+        assert int(stitch["n_tokens"].sum()) == int(part_mode["n_tokens"].sum()) == 160
+        # full windows byte-identical to partition mode
+        full_keys = lambda df: set(  # noqa: E731
+            map(
+                tuple,
+                df[df["n_tokens"] == 64][["part", "seq_idx", "tok_hash"]].values,
+            )
+        )
+        assert full_keys(stitch) == full_keys(part_mode) != set()
+        # stitched rows: group 0 merges the 16-tok and 10-tok tails (part
+        # order pinned), group 1 carries its lone 6-tok tail
+        st = stitch[stitch["part"] < 0]
+        assert st["part"].tolist() == [-2, -1]
+        assert st["n_tokens"].tolist() == [6, 26]
+        merged = " ".join((t0 + t1)[64:] + t2)
+        assert (
+            st[st["part"] == -1]["tok_hash"].iloc[0]
+            == hashlib.md5(merged.encode()).hexdigest()
+        )
+        # waste bound: one partial per stitch group, vs two in partition mode
+        assert (stitch["n_tokens"] < 64).sum() == 2  # one per stitch group
+        assert (part_mode["n_tokens"] < 64).sum() == 3
+
+    def test_stitch_mode_conserves_tokens_on_sf(self, ray_session):
+        """Natural-data conservation at sf0.001: both modes emit exactly
+        the corpus token count; stitch emits no more partials than
+        stitch groups."""
+        from raycrawl import textproc
+
+        a = textproc.pack_sequences(SF_DIR).to_pandas()
+        b = textproc.pack_sequences(SF_DIR, mode="stitch").to_pandas()
+        assert int(a["n_tokens"].sum()) == int(b["n_tokens"].sum()) > 0
+        n_groups = b[b["part"] < 0]["part"].nunique()
+        assert (b["n_tokens"] < textproc.CHUNK_SEQ_LEN).sum() <= max(n_groups, 1)
+
 
 class TestTfidfTopk:
     def test_rare_term_outranks_common(self, ray_session, tmp_path):
