@@ -638,7 +638,12 @@ def run_scaling(args) -> dict:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
-    ap.add_argument("--components", default="extract,crawl,queries")
+    # warc + curate are in the default set so the per-round archived
+    # artifact (BENCH_r{N}.json) carries the WARC/curation families'
+    # timings alongside extract/crawl/queries (VERDICT r4 #6) — the
+    # round-over-round comparison no longer relies on prose in
+    # BENCH/BASELINE.md for those components.
+    ap.add_argument("--components", default="extract,crawl,warc,curate,queries")
     ap.add_argument("--scaling-component", default="extract_analyze")
     ap.add_argument("--trials", type=int, default=2)
     ap.add_argument("--repeat", type=int, default=4)
