@@ -10,9 +10,18 @@ the DECODED samples), and pyoracle verifies pixel_sum CLOSED-FORM from
 the pattern — it never touches the PNG byte path, so a wrong unfilter
 or dimension parse hash-mismatches at the driver.
 
-Audio/video payloads stay md5-stub features (no public pure-python
-codec is practical here); swapping in soundfile/PyAV is a one-function
-change inside the actor.
+The AUDIO decode is REAL too (r5): a stdlib-only WAV codec (RIFF
+chunk walk + 16-bit PCM samples, public RIFF/WAVE spec). Same
+verification shape as images: the fixture encodes a closed-form int16
+pattern as real WAV bytes, the stage decodes and emits sample-derived
+features (frames/rate/channels from the fmt chunk, sample_sum from the
+DECODED samples, reported in the shared width/height/channels/pixel_sum
+columns), and pyoracle recomputes everything from the pattern without
+running the byte path.
+
+Video payloads stay md5-stub features (no public pure-python video
+codec is practical here); swapping in PyAV is a one-function change
+inside the actor.
 """
 
 from __future__ import annotations
@@ -168,6 +177,69 @@ def png_decode(data: bytes) -> np.ndarray:
     return out.reshape(height, width, channels)
 
 
+# --- minimal RIFF/WAVE codec (16-bit PCM) -----------------------------------
+
+
+def wav_encode(samples: np.ndarray, sample_rate: int) -> bytes:
+    """Minimal WAV encoder: 16-bit PCM, little-endian, interleaved.
+    `samples` is (frames,) or (frames, channels) int16."""
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    frames, channels = samples.shape
+    if channels not in (1, 2):
+        raise ValueError(f"wav_encode supports 1 or 2 channels, got {channels}")
+    data = samples.astype("<i2").tobytes()
+    block_align = channels * 2
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, sample_rate, sample_rate * block_align, block_align, 16
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def wav_decode(data: bytes) -> tuple[np.ndarray, int]:
+    """Minimal WAV decoder: validates the RIFF/WAVE framing, walks chunks
+    (word-aligned per the RIFF spec), and requires 16-bit integer PCM.
+    Returns ((frames, channels) int16, sample_rate)."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a WAV (bad RIFF/WAVE framing)")
+    (riff_len,) = struct.unpack("<I", data[4:8])
+    if riff_len + 8 > len(data):
+        raise ValueError("WAV truncated: RIFF length exceeds payload")
+    pos = 12
+    channels = sample_rate = block_align = None
+    pcm: bytes | None = None
+    while pos + 8 <= len(data):
+        ctype = data[pos : pos + 4]
+        (length,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        body = data[pos + 8 : pos + 8 + length]
+        if len(body) != length:
+            raise ValueError(f"WAV chunk {ctype!r} truncated")
+        if ctype == b"fmt ":
+            if length < 16:
+                raise ValueError("WAV fmt chunk too short")
+            tag, channels, sample_rate, _brate, block_align, bits = struct.unpack(
+                "<HHIIHH", body[:16]
+            )
+            if tag != 1 or bits != 16:
+                raise ValueError("wav_decode supports 16-bit integer PCM only")
+            if channels not in (1, 2) or block_align != channels * 2:
+                raise ValueError(f"unsupported WAV layout: {channels}ch/{block_align}")
+        elif ctype == b"data":
+            pcm = body
+        pos += 8 + length + (length & 1)  # chunks pad to even offsets
+    if channels is None or pcm is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    if len(pcm) % (channels * 2):
+        raise ValueError("WAV data length is not a whole number of frames")
+    arr = np.frombuffer(pcm, dtype="<i2").reshape(-1, channels)
+    return arr, sample_rate
+
+
 # --- deterministic synthetic images (the fixture generator) ----------------
 # PINNED INPUT PRIMITIVES (shared with pyoracle, like gen_corpus): the
 # pattern below is a closed-form function of (media_id, x, y, ch), so the
@@ -200,13 +272,40 @@ def synth_png(media_id: int) -> bytes:
     return png_encode(px, row_filters=filters)
 
 
+# --- deterministic synthetic audio (pinned primitives, like the images) ----
+
+
+def synth_audio_shape(media_id: int) -> tuple[int, int, int]:
+    """(n_frames, channels, sample_rate) for the synthetic clip of
+    `media_id` — closed-form so the oracle never decodes bytes."""
+    frames = 64 + (media_id * 17) % 193
+    channels = 1 if (media_id // 3) % 2 == 0 else 2
+    rate = 8000 + (media_id % 5) * 1000
+    return frames, channels, rate
+
+
+def synth_audio_samples(media_id: int) -> np.ndarray:
+    """(frames, channels) int16 pattern:
+    ((5n + 11*id + 257*ch) * 131) % 65536 - 32768."""
+    frames, channels, _ = synth_audio_shape(media_id)
+    n = np.arange(frames, dtype=np.int64)[:, None]
+    ch = np.arange(channels, dtype=np.int64)[None, :]
+    return (((5 * n + 11 * media_id + 257 * ch) * 131) % 65536 - 32768).astype(np.int16)
+
+
+def synth_wav(media_id: int) -> bytes:
+    """Real RIFF/WAVE payload for `media_id`."""
+    _, _, rate = synth_audio_shape(media_id)
+    return wav_encode(synth_audio_samples(media_id), rate)
+
+
 def _decode_stub(payload: bytes, media_type: str) -> dict:
-    """Non-image decode: real codecs are unavailable in this container.
-    Deterministic pseudo-features derived from md5(payload) — md5 so the
-    oracle can recompute them; replace with soundfile/PyAV in a
-    codec-equipped environment (raises NotImplementedError for unknown
-    media types)."""
-    if media_type not in ("audio", "video"):
+    """Video decode: no public pure-python video codec is practical in
+    this container. Deterministic pseudo-features derived from
+    md5(payload) — md5 so the oracle can recompute them; replace with
+    PyAV in a codec-equipped environment (raises NotImplementedError for
+    unknown media types)."""
+    if media_type != "video":
         raise NotImplementedError(f"unknown media type: {media_type}")
     digest = hashlib.md5(payload).digest()
     return {
@@ -237,6 +336,25 @@ def _decode_image(payload: bytes) -> dict:
     }
 
 
+def _decode_audio(payload: bytes) -> dict:
+    """REAL audio decode: frame count/rate/channels from the fmt+data
+    chunks, sample_sum from the DECODED int16 samples — a wrong chunk
+    walk or sample parse changes the value. Reported in the shared
+    feature columns: width=frames, height=sample_rate, pixel_sum=
+    sum(samples) (may be negative; video stubs use the sentinel -1)."""
+    samples, rate = wav_decode(payload)
+    frames, channels = samples.shape
+    digest = hashlib.md5(payload).digest()
+    return {
+        "n_bytes": len(payload),
+        "digest_prefix": digest[:8].hex(),
+        "width": frames,
+        "height": rate,
+        "channels": channels,
+        "pixel_sum": int(samples.astype(np.int64).sum()),
+    }
+
+
 class MediaFeatureStage:
     """Actor-pool map_batches stage: decode/feature-extract binary payloads.
 
@@ -249,7 +367,8 @@ class MediaFeatureStage:
 
     def __init__(self) -> None:
         self.decode_image = _decode_image  # real stdlib PNG codec
-        self.decode_other = _decode_stub  # swap point for real a/v codecs
+        self.decode_audio = _decode_audio  # real stdlib WAV codec
+        self.decode_other = _decode_stub  # swap point for a real video codec
 
     def __call__(self, t: pa.Table) -> pa.Table:
         payloads = t["payload"].to_pylist()
@@ -257,6 +376,8 @@ class MediaFeatureStage:
         feats = [
             self.decode_image(p or b"")
             if m == "image"
+            else self.decode_audio(p or b"")
+            if m == "audio"
             else self.decode_other(p or b"", m)
             for p, m in zip(payloads, mtypes)
         ]
@@ -289,7 +410,8 @@ def media_features(ds: rd.Dataset, concurrency=None, batch_size: int = 64) -> rd
 
 def synth_media_dataset(sf_dir: str) -> rd.Dataset:
     """Build a media table from documents: image rows carry REAL PNG
-    payloads (deterministic pattern, every filter type); audio/video rows
+    payloads (deterministic pattern, every filter type), audio rows REAL
+    16-bit PCM WAV payloads (closed-form sample pattern); video rows
     carry opaque text bytes — exercises the binary-column plumbing on
     driver testdata."""
     import os
@@ -303,7 +425,13 @@ def synth_media_dataset(sf_dir: str) -> rd.Dataset:
         for i, x in zip(ids, texts):
             kind = "image" if i % 3 == 0 else ("audio" if i % 3 == 1 else "video")
             mt.append(kind)
-            payloads.append(synth_png(i) if kind == "image" else x.encode("utf-8"))
+            payloads.append(
+                synth_png(i)
+                if kind == "image"
+                else synth_wav(i)
+                if kind == "audio"
+                else x.encode("utf-8")
+            )
         return pa.table(
             {
                 "media_id": pa.array(ids, pa.int64()),

@@ -856,7 +856,9 @@ def media_features(sf_dir: str) -> pa.Table:
     the pinned pattern (`synth_image_pixels` — it never runs the engine's
     PNG decode path, so a wrong unfilter or header parse mismatches at the
     driver; n_bytes comes from the shared pinned payload generator).
-    Audio/video rows recompute the md5 stub features."""
+    AUDIO rows verify the REAL stdlib WAV decode the same way (shape +
+    sample sum from the pinned pattern, never from decoded bytes).
+    Video rows recompute the md5 stub features."""
     import hashlib as _hl
 
     from raycrawl import multimodal as _mm
@@ -876,6 +878,16 @@ def media_features(sf_dir: str) -> pa.Table:
             ht.append(h)
             ch.append(c)
             ps.append(int(px.astype("int64").sum()))
+        elif kind == "audio":
+            payload = _mm.synth_wav(i)  # pinned input generator
+            frames, c, rate = _mm.synth_audio_shape(i)
+            smp = _mm.synth_audio_samples(i)  # pattern, not decoded bytes
+            nb.append(len(payload))
+            dp.append(_hl.md5(payload).digest()[:8].hex())
+            wd.append(frames)
+            ht.append(rate)
+            ch.append(c)
+            ps.append(int(smp.astype("int64").sum()))
         else:
             payload = (x or "").encode("utf-8")
             digest = _hl.md5(payload).digest()

@@ -210,6 +210,47 @@ class TestMultimodal:
         with pytest.raises(ValueError):
             mm.png_decode(bytes(bad))
 
+    def test_wav_roundtrip(self):
+        """encode -> decode is the identity for mono/stereo and degenerate
+        1-frame clips, including extreme sample values."""
+        from raycrawl import multimodal as mm
+
+        rng = np.random.RandomState(5)
+        for frames in (1, 2, 17, 301):
+            for c in (1, 2):
+                arr = rng.randint(-32768, 32768, size=(frames, c)).astype(np.int16)
+                arr[0, :] = -32768
+                arr[-1, :] = 32767
+                dec, rate = mm.wav_decode(mm.wav_encode(arr, 11025))
+                assert rate == 11025
+                assert dec.shape == (frames, c)
+                assert np.array_equal(dec, arr)
+
+    def test_wav_decode_rejects_corruption(self):
+        from raycrawl import multimodal as mm
+
+        good = mm.synth_wav(1)
+        with pytest.raises(ValueError):
+            mm.wav_decode(b"FORM" + good[4:])  # bad RIFF magic
+        with pytest.raises(ValueError):
+            mm.wav_decode(good[:-3])  # truncated data chunk
+        bad = bytearray(good)
+        bad[20] = 3  # fmt tag -> IEEE float, not PCM
+        with pytest.raises(ValueError):
+            mm.wav_decode(bytes(bad))
+
+    def test_decoded_synth_audio_matches_closed_form(self):
+        """Same contract as the PNG path: the oracle's pattern never
+        touches WAV bytes; the engine decode must reproduce it exactly."""
+        from raycrawl import multimodal as mm
+
+        for mid in range(1, 91, 3):
+            dec, rate = mm.wav_decode(mm.synth_wav(mid))
+            frames, c, want_rate = mm.synth_audio_shape(mid)
+            assert rate == want_rate
+            assert dec.shape == (frames, c)
+            assert np.array_equal(dec, mm.synth_audio_samples(mid))
+
     def test_decoded_synth_matches_closed_form(self):
         """The oracle's pattern never touches PNG bytes; the engine decode
         must reproduce it exactly (this is what the driver row checks)."""
@@ -233,7 +274,9 @@ class TestMultimodal:
         assert (out["n_bytes"] > 0).all()
         img = out[out.media_type == "image"]
         assert (img["pixel_sum"] >= 0).all()
-        assert (out[out.media_type != "image"]["pixel_sum"] == -1).all()
+        aud = out[out.media_type == "audio"]
+        assert (aud["height"] >= 8000).all()  # sample_rate column for audio
+        assert (out[out.media_type == "video"]["pixel_sum"] == -1).all()
         want = (
             pyoracle.media_features(SF_DIR)
             .to_pandas()
