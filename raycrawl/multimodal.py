@@ -19,9 +19,14 @@ DECODED samples, reported in the shared width/height/channels/pixel_sum
 columns), and pyoracle recomputes everything from the pattern without
 running the byte path.
 
-Video payloads stay md5-stub features (no public pure-python video
-codec is practical here); swapping in PyAV is a one-function change
-inside the actor.
+The VIDEO decode is REAL as well (r5): a stdlib-only AVI codec
+(RIFF tree walk + BITMAPINFOHEADER + uncompressed 24-bit DIB frames —
+bottom-up, BGR, 4-byte row stride, public AVI spec). The feature stage
+FRAME-SAMPLES every VIDEO_SAMPLE_EVERY-th decoded frame and sums the
+sampled pixels; the fixture cycles every stride-pad case (w % 4 in
+0..3) and pyoracle recomputes the sampled sum from the closed-form
+pattern. Swapping in PyAV for compressed codecs is a one-function
+change inside the actor.
 """
 
 from __future__ import annotations
@@ -240,6 +245,109 @@ def wav_decode(data: bytes) -> tuple[np.ndarray, int]:
     return arr, sample_rate
 
 
+# --- minimal AVI codec (uncompressed 24-bit DIB frames) ---------------------
+#
+# AVI is RIFF-framed like WAV (public AVI/BITMAPINFOHEADER spec). Frames
+# are stored the way real uncompressed AVIs store them — bottom-up BGR
+# rows padded to 4-byte boundaries in '00db' chunks — so the decoder has
+# to get row order, channel order, and stride padding right or the
+# closed-form oracle comparison mismatches.
+
+
+def _dib_frame(frame: np.ndarray) -> bytes:
+    """(H, W, 3) RGB uint8 -> bottom-up BGR rows, 4-byte-aligned."""
+    h, w, _ = frame.shape
+    bgr = frame[::-1, :, ::-1]  # bottom-up, RGB->BGR
+    stride = (w * 3 + 3) & ~3
+    pad = stride - w * 3
+    if pad == 0:
+        return bgr.tobytes()
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = bgr.reshape(h, w * 3)
+    return rows.tobytes()
+
+
+def avi_encode(frames: np.ndarray, fps: int = 10) -> bytes:
+    """Minimal AVI encoder: uncompressed 24-bit DIB video, one '00db'
+    chunk per frame, no index. `frames` is (N, H, W, 3) uint8."""
+    n, h, w, c = frames.shape
+    if c != 3:
+        raise ValueError(f"avi_encode supports 3-channel RGB, got {c}")
+    usec = 1_000_000 // fps
+    frame_bytes = ((w * 3 + 3) & ~3) * h
+    avih = struct.pack(
+        "<14I", usec, frame_bytes * fps, 0, 0, n, 0, 1, frame_bytes, w, h, 0, 0, 0, 0
+    )
+    strh = (
+        b"vids" + b"DIB " + struct.pack("<IHHIIIIIIIII", 0, 0, 0, 0, 1, fps, 0, n,
+                                        frame_bytes, 0, 0, 0)
+        + struct.pack("<hhhh", 0, 0, w, h)
+    )
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_bytes, 0, 0, 0, 0)
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return cid + struct.pack("<I", len(body)) + body + (b"\x00" * (len(body) & 1))
+
+    def lst(kind: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", kind + body)
+
+    strl = lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf))
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + strl)
+    movi = lst(b"movi", b"".join(chunk(b"00db", _dib_frame(f)) for f in frames))
+    return b"RIFF" + struct.pack("<I", len(b"AVI " + hdrl + movi)) + b"AVI " + hdrl + movi
+
+
+def avi_decode(data: bytes) -> tuple[np.ndarray, int]:
+    """Minimal AVI decoder: walks the RIFF tree, reads dimensions/fps from
+    avih + the strf BITMAPINFOHEADER (24-bit uncompressed only), and
+    unpacks every '00db'/'00dc' frame from bottom-up padded BGR to
+    (N, H, W, 3) RGB uint8. Returns (frames, fps)."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not an AVI (bad RIFF/AVI framing)")
+    (riff_len,) = struct.unpack("<I", data[4:8])
+    if riff_len + 8 > len(data):
+        raise ValueError("AVI truncated: RIFF length exceeds payload")
+    w = h = None
+    usec = 0
+    raw_frames: list[bytes] = []
+
+    def walk(pos: int, end: int) -> None:
+        nonlocal w, h, usec
+        while pos + 8 <= end:
+            cid = data[pos : pos + 4]
+            (length,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+            body_start = pos + 8
+            if body_start + length > end:
+                raise ValueError(f"AVI chunk {cid!r} truncated")
+            if cid == b"LIST":
+                walk(body_start + 4, body_start + length)
+            elif cid == b"avih":
+                usec = struct.unpack("<I", data[body_start : body_start + 4])[0]
+            elif cid == b"strf":
+                (_sz, bw, bh, _planes, bits, comp) = struct.unpack(
+                    "<IiiHHI", data[body_start : body_start + 20]
+                )
+                if bits != 24 or comp != 0:
+                    raise ValueError("avi_decode supports uncompressed 24-bit only")
+                w, h = bw, abs(bh)
+            elif cid in (b"00db", b"00dc"):
+                raw_frames.append(data[body_start : body_start + length])
+            pos = body_start + length + (length & 1)
+
+    walk(12, min(len(data), riff_len + 8))
+    if w is None or not raw_frames:
+        raise ValueError("AVI missing strf header or frames")
+    stride = (w * 3 + 3) & ~3
+    frames = np.empty((len(raw_frames), h, w, 3), dtype=np.uint8)
+    for i, raw in enumerate(raw_frames):
+        if len(raw) != stride * h:
+            raise ValueError("AVI frame payload length mismatch")
+        rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride)
+        frames[i] = rows[:, : w * 3].reshape(h, w, 3)[::-1, :, ::-1]  # ->RGB, top-down
+    fps = 1_000_000 // usec if usec else 0
+    return frames, fps
+
+
 # --- deterministic synthetic images (the fixture generator) ----------------
 # PINNED INPUT PRIMITIVES (shared with pyoracle, like gen_corpus): the
 # pattern below is a closed-form function of (media_id, x, y, ch), so the
@@ -299,24 +407,42 @@ def synth_wav(media_id: int) -> bytes:
     return wav_encode(synth_audio_samples(media_id), rate)
 
 
+# --- deterministic synthetic video (pinned primitives) ----------------------
+
+VIDEO_SAMPLE_EVERY = 2  # frame-sample stride used by the feature stage
+
+
+def synth_video_shape(media_id: int) -> tuple[int, int, int, int]:
+    """(n_frames, height, width, fps) for the synthetic clip of
+    `media_id`. Width cycles through all 4-byte-stride pad cases
+    (w%4 in {0,1,2,3}) so the corpus exercises every DIB row padding."""
+    frames = 3 + (media_id * 5) % 6
+    h = 6 + (media_id * 11) % 13
+    w = 6 + (media_id * 3) % 14
+    fps = 5 + (media_id % 4) * 5
+    return frames, h, w, fps
+
+
+def synth_video_frames(media_id: int) -> np.ndarray:
+    """(N, H, W, 3) uint8 pattern: (2f + 3x + 7y + 13*id + 31*ch) % 256."""
+    n, h, w, _ = synth_video_shape(media_id)
+    f = np.arange(n)[:, None, None, None]
+    y = np.arange(h)[None, :, None, None]
+    x = np.arange(w)[None, None, :, None]
+    ch = np.arange(3)[None, None, None, :]
+    return ((2 * f + 3 * x + 7 * y + 13 * media_id + 31 * ch) % 256).astype(np.uint8)
+
+
+def synth_avi(media_id: int) -> bytes:
+    """Real AVI payload for `media_id`."""
+    _, _, _, fps = synth_video_shape(media_id)
+    return avi_encode(synth_video_frames(media_id), fps)
+
+
 def _decode_stub(payload: bytes, media_type: str) -> dict:
-    """Video decode: no public pure-python video codec is practical in
-    this container. Deterministic pseudo-features derived from
-    md5(payload) — md5 so the oracle can recompute them; replace with
-    PyAV in a codec-equipped environment (raises NotImplementedError for
-    unknown media types)."""
-    if media_type != "video":
-        raise NotImplementedError(f"unknown media type: {media_type}")
-    digest = hashlib.md5(payload).digest()
-    return {
-        "n_bytes": len(payload),
-        "digest_prefix": digest[:8].hex(),
-        # fake dimensions, stable per payload
-        "width": 64 + digest[0],
-        "height": 64 + digest[1],
-        "channels": 1 + digest[2] % 3,
-        "pixel_sum": -1,
-    }
+    """Guard for media types without a decoder (none in the synthetic
+    corpus since r5 — image/audio/video are all real stdlib codecs)."""
+    raise NotImplementedError(f"unknown media type: {media_type}")
 
 
 def _decode_image(payload: bytes) -> dict:
@@ -333,6 +459,28 @@ def _decode_image(payload: bytes) -> dict:
         "height": h,
         "channels": c,
         "pixel_sum": int(px.astype(np.int64).sum()),
+    }
+
+
+def _decode_video(payload: bytes) -> dict:
+    """REAL video decode: dimensions from the BITMAPINFOHEADER, frame
+    unpacking from the movi '00db' chunks (bottom-up padded BGR -> RGB),
+    then FRAME-SAMPLING every VIDEO_SAMPLE_EVERY-th frame for the pixel
+    feature — the sampled-frame sum changes if row order, channel order,
+    stride padding, or the sampling stride is wrong. Reported in the
+    shared columns: width/height from the header, channels=frame count,
+    pixel_sum=sum over sampled frames."""
+    frames, _fps = avi_decode(payload)
+    n, h, w, _ = frames.shape
+    sampled = frames[::VIDEO_SAMPLE_EVERY]
+    digest = hashlib.md5(payload).digest()
+    return {
+        "n_bytes": len(payload),
+        "digest_prefix": digest[:8].hex(),
+        "width": w,
+        "height": h,
+        "channels": n,  # frame count for video (3-channel RGB is implied)
+        "pixel_sum": int(sampled.astype(np.int64).sum()),
     }
 
 
@@ -368,7 +516,8 @@ class MediaFeatureStage:
     def __init__(self) -> None:
         self.decode_image = _decode_image  # real stdlib PNG codec
         self.decode_audio = _decode_audio  # real stdlib WAV codec
-        self.decode_other = _decode_stub  # swap point for a real video codec
+        self.decode_video = _decode_video  # real stdlib AVI codec
+        self.decode_other = _decode_stub  # unknown-media-type guard
 
     def __call__(self, t: pa.Table) -> pa.Table:
         payloads = t["payload"].to_pylist()
@@ -378,6 +527,8 @@ class MediaFeatureStage:
             if m == "image"
             else self.decode_audio(p or b"")
             if m == "audio"
+            else self.decode_video(p or b"")
+            if m == "video"
             else self.decode_other(p or b"", m)
             for p, m in zip(payloads, mtypes)
         ]
@@ -411,18 +562,18 @@ def media_features(ds: rd.Dataset, concurrency=None, batch_size: int = 64) -> rd
 def synth_media_dataset(sf_dir: str) -> rd.Dataset:
     """Build a media table from documents: image rows carry REAL PNG
     payloads (deterministic pattern, every filter type), audio rows REAL
-    16-bit PCM WAV payloads (closed-form sample pattern); video rows
-    carry opaque text bytes — exercises the binary-column plumbing on
-    driver testdata."""
+    16-bit PCM WAV payloads (closed-form sample pattern), video rows REAL
+    uncompressed AVI payloads (closed-form frame pattern, every DIB
+    stride-pad case) — exercises the binary-column plumbing on driver
+    testdata."""
     import os
 
-    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
 
     def to_media(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].to_pylist()
-        texts = t["text"].to_pylist()
         payloads, mt = [], []
-        for i, x in zip(ids, texts):
+        for i in ids:
             kind = "image" if i % 3 == 0 else ("audio" if i % 3 == 1 else "video")
             mt.append(kind)
             payloads.append(
@@ -430,7 +581,7 @@ def synth_media_dataset(sf_dir: str) -> rd.Dataset:
                 if kind == "image"
                 else synth_wav(i)
                 if kind == "audio"
-                else x.encode("utf-8")
+                else synth_avi(i)
             )
         return pa.table(
             {

@@ -857,15 +857,16 @@ def media_features(sf_dir: str) -> pa.Table:
     PNG decode path, so a wrong unfilter or header parse mismatches at the
     driver; n_bytes comes from the shared pinned payload generator).
     AUDIO rows verify the REAL stdlib WAV decode the same way (shape +
-    sample sum from the pinned pattern, never from decoded bytes).
-    Video rows recompute the md5 stub features."""
+    sample sum from the pinned pattern, never from decoded bytes), and
+    VIDEO rows the REAL stdlib AVI decode (frame-sampled pixel sum from
+    the pinned pattern with the engine's VIDEO_SAMPLE_EVERY stride)."""
     import hashlib as _hl
 
     from raycrawl import multimodal as _mm
 
-    ids, texts = _docs(sf_dir)
+    ids, _texts = _docs(sf_dir)
     mt, nb, dp, wd, ht, ch, ps = [], [], [], [], [], [], []
-    for i, x in zip(ids, texts):
+    for i in ids:
         kind = "image" if i % 3 == 0 else ("audio" if i % 3 == 1 else "video")
         mt.append(kind)
         if kind == "image":
@@ -889,14 +890,15 @@ def media_features(sf_dir: str) -> pa.Table:
             ch.append(c)
             ps.append(int(smp.astype("int64").sum()))
         else:
-            payload = (x or "").encode("utf-8")
-            digest = _hl.md5(payload).digest()
+            payload = _mm.synth_avi(i)  # pinned input generator
+            frames, h, w, _fps = _mm.synth_video_shape(i)
+            px = _mm.synth_video_frames(i)  # pattern, not decoded bytes
             nb.append(len(payload))
-            dp.append(digest[:8].hex())
-            wd.append(64 + digest[0])
-            ht.append(64 + digest[1])
-            ch.append(1 + digest[2] % 3)
-            ps.append(-1)
+            dp.append(_hl.md5(payload).digest()[:8].hex())
+            wd.append(w)
+            ht.append(h)
+            ch.append(frames)
+            ps.append(int(px[:: _mm.VIDEO_SAMPLE_EVERY].astype("int64").sum()))
     return pa.table(
         {
             "media_id": pa.array(ids, pa.int64()),

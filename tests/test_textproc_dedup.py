@@ -251,6 +251,41 @@ class TestMultimodal:
             assert dec.shape == (frames, c)
             assert np.array_equal(dec, mm.synth_audio_samples(mid))
 
+    def test_avi_roundtrip(self):
+        """encode -> decode is the identity across every 4-byte stride
+        padding case (w % 4 in 0..3) and frame counts including 1."""
+        from raycrawl import multimodal as mm
+
+        rng = np.random.RandomState(11)
+        for w in (4, 5, 6, 7, 8):
+            for n in (1, 3):
+                arr = rng.randint(0, 256, size=(n, 9, w, 3)).astype(np.uint8)
+                dec, fps = mm.avi_decode(mm.avi_encode(arr, fps=10))
+                assert fps == 10
+                assert dec.shape == arr.shape
+                assert np.array_equal(dec, arr)
+
+    def test_avi_decode_rejects_corruption(self):
+        from raycrawl import multimodal as mm
+
+        good = mm.synth_avi(2)
+        with pytest.raises(ValueError):
+            mm.avi_decode(b"RIFX" + good[4:])  # bad RIFF magic
+        with pytest.raises(ValueError):
+            mm.avi_decode(good[:8] + b"WAVE" + good[12:])  # wrong form type
+        with pytest.raises(ValueError):
+            mm.avi_decode(good[:-5])  # truncated movi frame
+
+    def test_decoded_synth_video_matches_closed_form(self):
+        from raycrawl import multimodal as mm
+
+        for mid in range(2, 92, 3):
+            frames, fps = mm.avi_decode(mm.synth_avi(mid))
+            n, h, w, want_fps = mm.synth_video_shape(mid)
+            assert fps == want_fps
+            assert frames.shape == (n, h, w, 3)
+            assert np.array_equal(frames, mm.synth_video_frames(mid))
+
     def test_decoded_synth_matches_closed_form(self):
         """The oracle's pattern never touches PNG bytes; the engine decode
         must reproduce it exactly (this is what the driver row checks)."""
@@ -276,7 +311,9 @@ class TestMultimodal:
         assert (img["pixel_sum"] >= 0).all()
         aud = out[out.media_type == "audio"]
         assert (aud["height"] >= 8000).all()  # sample_rate column for audio
-        assert (out[out.media_type == "video"]["pixel_sum"] == -1).all()
+        vid = out[out.media_type == "video"]
+        assert (vid["pixel_sum"] > 0).all()  # frame-sampled pixel sum
+        assert (vid["channels"] >= 3).all()  # frame count for video
         want = (
             pyoracle.media_features(SF_DIR)
             .to_pandas()
