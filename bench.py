@@ -278,6 +278,26 @@ def bench_curate(sf_dir: str) -> dict:
     }
 
 
+def bench_media(sf_dir: str) -> dict:
+    """Multimodal decode path over the sf documents table: synth PNG/WAV/
+    AVI payloads (1/3 each) -> actor-pool feature stage running all three
+    stdlib codecs. Measures the binary-column plumbing plus real decode
+    throughput (encode is part of the measured producer stage, as a real
+    ingest would pay its read)."""
+    import pyarrow.parquet as pq
+
+    from raycrawl import multimodal
+
+    n_docs = pq.read_metadata(
+        os.path.join(sf_dir, "documents.parquet")
+    ).num_rows
+    t0 = time.perf_counter()
+    n = _consume(multimodal.media_pipeline(sf_dir))
+    sec = time.perf_counter() - t0
+    assert n == n_docs
+    return {"sec": sec, "media_rows": n, "rows_per_sec": n / sec}
+
+
 def bench_queries(sf_dir: str) -> dict:
     """Representative generic-operator pipelines at sf0.1."""
     from raycrawl import dedup, relational, similarity, textproc
@@ -412,6 +432,11 @@ def run_once(args) -> dict:
         r = bench_curate(sf_dir)
         queries["curate"] = round(r["sec"], 3)
         throughput["curate_docs_per_sec"] = round(r["docs_per_sec"], 1)
+        total += r["sec"]
+    if "media" in components:
+        r = bench_media(sf_dir)
+        queries["media"] = round(r["sec"], 3)
+        throughput["media_rows_per_sec"] = round(r["rows_per_sec"], 1)
         total += r["sec"]
     if "queries" in components:
         q = bench_queries(sf_dir)
@@ -643,7 +668,7 @@ def main() -> None:
     # timings alongside extract/crawl/queries (VERDICT r4 #6) — the
     # round-over-round comparison no longer relies on prose in
     # BENCH/BASELINE.md for those components.
-    ap.add_argument("--components", default="extract,crawl,warc,curate,queries")
+    ap.add_argument("--components", default="extract,crawl,warc,curate,media,queries")
     ap.add_argument("--scaling-component", default="extract_analyze")
     ap.add_argument("--trials", type=int, default=2)
     ap.add_argument("--repeat", type=int, default=4)

@@ -321,6 +321,25 @@ class TestMultimodal:
         )
         assert out.reset_index(drop=True).equals(want[out.columns])
 
+    def test_actor_pool_path_matches_plain(self, ray_session):
+        """actor_pool=True (the heavy-codec swap shape) must produce the
+        identical feature table as the default plain-task path."""
+        from raycrawl import multimodal
+
+        ds = multimodal.synth_media_dataset(SF_DIR)
+        cols = ["media_id", "n_bytes", "width", "height", "channels", "pixel_sum"]
+        plain = (
+            multimodal.media_features(ds)
+            .select_columns(cols).to_pandas()
+            .sort_values("media_id", ignore_index=True)
+        )
+        pooled = (
+            multimodal.media_features(ds, actor_pool=True, concurrency=(1, 2))
+            .select_columns(cols).to_pandas()
+            .sort_values("media_id", ignore_index=True)
+        )
+        assert plain.equals(pooled)
+
     def test_decode_stub_unknown_type(self):
         from raycrawl.multimodal import _decode_stub
 
