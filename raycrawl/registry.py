@@ -316,6 +316,11 @@ BEYOND_WINDOW = {
     "text_quality": ("gopher_quality", "prep_corpus"),  # richer quality signals in-window
     "quality_score": ("prep_corpus",),              # quality column hash-checked in prep_corpus
     "except_join": ("anti_join",),                  # same NOT IN anti shape
+    # range joins (r5): equi-key + time-range residual / pure range via
+    # bucket replication — the join + windowed-aggregate shapes they
+    # compose from are in-window; both are DuckDB-checked in conformance
+    "range_join_user": ("join_fetch", "window_sliding", "asof_latest"),
+    "range_join_bucket": ("join_fetch", "window_sliding"),
 }
 
 
@@ -458,6 +463,8 @@ def build_queries() -> dict:
         "token_count": textproc.token_counts,
         "text_quality": textproc.text_quality,
         "quality_score": _oracled("quality_score", q_quality_score),
+        "range_join_user": relational.q_range_join_user,
+        "range_join_bucket": relational.q_range_join_bucket,
     }
 
 
@@ -744,5 +751,19 @@ def build_oracle_sql() -> dict:
             "row_number() OVER (PARTITION BY q.vec_id "
             "ORDER BY list_cosine_similarity(c.e, q.e) DESC, c.vec_id) AS rank "
             "FROM q CROSS JOIN c WHERE c.vec_id <> q.vec_id) t WHERE rank <= 5"
+        ),
+        "range_join_user": (
+            "SELECT e.event_id AS event_id, count(*) AS n_prev, "
+            "min(f.event_id) AS min_prev_id, max(f.event_id) AS max_prev_id "
+            "FROM events e JOIN events f ON f.user_id = e.user_id "
+            "AND f.ts < e.ts AND f.ts >= e.ts - INTERVAL 24 HOUR "
+            "GROUP BY e.event_id"
+        ),
+        "range_join_bucket": (
+            "SELECT e.event_id AS event_id, count(*) AS n_near, "
+            "min(f.event_id) AS min_near_id, max(f.event_id) AS max_near_id "
+            "FROM events e JOIN events f ON f.ts < e.ts "
+            "AND f.ts >= e.ts - INTERVAL 10 MINUTE "
+            "GROUP BY e.event_id"
         ),
     }

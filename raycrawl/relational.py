@@ -316,6 +316,154 @@ def q_asof_latest(sf_dir: str):
     )
 
 
+def q_range_join_user(sf_dir: str):
+    """Range join, equi-key + range residual: for each event, the
+    same-user events in the PRECEDING 24 h (f.ts in [e.ts-24h, e.ts)),
+    aggregated to hash-stable ints (count + min/max neighbor id; events
+    with no predecessor drop, matching the SQL inner join).
+
+    Scale shape: hash-partition on the equi key (user_id % P, the
+    partition-wise rule) and compute the variable-length time window
+    INSIDE each partition with a C-implemented pandas time rolling —
+    never the naive per-user self-join, whose intermediate is quadratic
+    in events-per-user."""
+    _P = 64
+
+    def add_part(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "part",
+            pc.cast(
+                pc.bit_wise_and(t["user_id"], pa.scalar(_P - 1, pa.int64())),
+                pa.int32(),
+            ),
+        )
+
+    def window_part(g: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        # closed='left' == [e.ts - 24h, e.ts): the exact SQL predicate,
+        # strict upper bound so equal-ts rows (and the row itself) drop.
+        # The rolling result is indexed (user_id, ts) but its ROW ORDER is
+        # group-concatenation order == g's order (g is sorted by user_id
+        # first), so positional alignment is exact; empty windows yield
+        # NaN, not 0.
+        r = g.groupby("user_id").rolling("24h", on="ts", closed="left")["event_id"]
+        n = np.nan_to_num(r.count().to_numpy())
+        mn = r.min().to_numpy()
+        mx = r.max().to_numpy()
+        keep = n > 0
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy()[keep],
+                "n_prev": n[keep].astype("int64"),
+                "min_prev_id": mn[keep].astype("int64"),
+                "max_prev_id": mx[keep].astype("int64"),
+            }
+        )
+
+    return (
+        _pq(sf_dir, "events", ["event_id", "user_id", "ts"])
+        .map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(window_part, batch_format="pandas")
+    )
+
+
+_RANGE_BUCKET_US = 600_000_000  # 10 min, microseconds
+
+
+def q_range_join_bucket(sf_dir: str):
+    """PURE range join (no equality key): for each event, ALL events in
+    the preceding 10 min, any user. Ray Data has no inequality join, so
+    this is the canonical bucket-replication rewrite: quantize time into
+    buckets exactly one window wide, keep each probe row in its own
+    bucket, replicate each build row into its bucket and the next one
+    (a [ts, ts+W) window overlaps at most 2 W-wide buckets), equi-join
+    on bucket inside each partition, then apply the exact residual
+    predicate vectorized. Every qualifying pair lands in EXACTLY one
+    bucket (the probe's), so no dedup pass is needed.
+
+    Partitioning assumption (document per the custom-operator rule):
+    bucket width >= window length bounds replication at 2x, and skew is
+    events-per-window — a corpus with pathological time hot spots needs
+    a narrower bucket + part salt."""
+    import numpy as np
+
+    _P = 64
+
+    def expand(t: pa.Table) -> pa.Table:
+        ids = t["event_id"].combine_chunks()
+        us = pc.cast(t["ts"], pa.int64())
+        b = pc.divide(us, _RANGE_BUCKET_US)
+        # 0-filled (not null) placeholders: Arrow nulls turn int64 columns
+        # into float64/NaN on the pandas side of map_groups
+        zero = pa.array(np.zeros(len(ids), dtype=np.int64))
+
+        def side_tbl(side, bucket, e_id, e_ts, f_id, f_ts):
+            n = len(ids)
+            return pa.table(
+                {
+                    "side": pa.array(np.full(n, side, dtype=np.int8)),
+                    "bucket": bucket,
+                    "e_id": e_id,
+                    "e_ts": e_ts,
+                    "f_id": f_id,
+                    "f_ts": f_ts,
+                }
+            )
+
+        probe = side_tbl(0, b, ids, us, zero, zero)
+        build0 = side_tbl(1, b, zero, zero, ids, us)
+        build1 = side_tbl(
+            1, pc.add(b, pa.scalar(1, pa.int64())), zero, zero, ids, us
+        )
+        return pa.concat_tables([probe, build0, build1])
+
+    def add_part(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "part",
+            pc.cast(
+                pc.bit_wise_and(t["bucket"], pa.scalar(_P - 1, pa.int64())),
+                pa.int32(),
+            ),
+        )
+
+    def pair_part(g: pd.DataFrame) -> pd.DataFrame:
+        probe = g[g["side"] == 0][["bucket", "e_id", "e_ts"]]
+        build = g[g["side"] == 1][["bucket", "f_id", "f_ts"]]
+        m = probe.merge(build, on="bucket")  # C hash join on the bucket
+        ets = m["e_ts"].to_numpy()
+        fts = m["f_ts"].to_numpy()
+        m = m[(fts < ets) & (fts >= ets - _RANGE_BUCKET_US)]
+        if m.empty:
+            return pd.DataFrame(
+                {
+                    "event_id": pd.Series([], dtype="int64"),
+                    "n_near": pd.Series([], dtype="int64"),
+                    "min_near_id": pd.Series([], dtype="int64"),
+                    "max_near_id": pd.Series([], dtype="int64"),
+                }
+            )
+        agg = m.groupby("e_id")["f_id"].agg(["size", "min", "max"]).reset_index()
+        return pd.DataFrame(
+            {
+                "event_id": agg["e_id"].to_numpy(),
+                "n_near": agg["size"].to_numpy().astype("int64"),
+                "min_near_id": agg["min"].to_numpy().astype("int64"),
+                "max_near_id": agg["max"].to_numpy().astype("int64"),
+            }
+        )
+
+    return (
+        _pq(sf_dir, "events", ["event_id", "ts"])
+        .map_batches(expand, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(pair_part, batch_format="pandas")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Sort / top-k / head-n / sample (O1-O5)
 # ---------------------------------------------------------------------------
