@@ -317,6 +317,7 @@ def bench_queries(sf_dir: str) -> dict:
     run("group_headn", relational.q_group_headn)
     run("token_count", textproc.token_counts)
     run("ann_topk", similarity.ann_topk)
+    run("range_join", relational.q_range_join_bucket)
     run("dedup_minhash", dedup.minhash_dedup)
     return out
 
