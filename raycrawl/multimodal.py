@@ -121,13 +121,21 @@ def png_decode(data: bytes) -> np.ndarray:
     channels = 0
     idat = bytearray()
     while pos < len(data):
+        # bounds first: a corrupted length field must raise ValueError,
+        # not struct.error on a short slice (fuzz-found)
+        if pos + 8 > len(data):
+            raise ValueError("PNG chunk header truncated")
         (length,) = struct.unpack(">I", data[pos : pos + 4])
+        if pos + 12 + length > len(data):
+            raise ValueError("PNG chunk body/CRC truncated")
         ctype = data[pos + 4 : pos + 8]
         body = data[pos + 8 : pos + 8 + length]
         (crc,) = struct.unpack(">I", data[pos + 8 + length : pos + 12 + length])
         if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
             raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
         if ctype == b"IHDR":
+            if len(body) != 13:
+                raise ValueError("PNG IHDR length must be 13")
             width, height, depth, color_type, comp, filt, interlace = struct.unpack(
                 ">IIBBBBB", body
             )
@@ -143,7 +151,10 @@ def png_decode(data: bytes) -> np.ndarray:
         pos += 12 + length
     if width is None:
         raise ValueError("PNG missing IHDR")
-    raw = zlib.decompress(bytes(idat))
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:  # crafted IDAT with a valid CRC
+        raise ValueError(f"PNG IDAT inflate failed: {e}") from e
     stride = width * channels
     if len(raw) != height * (stride + 1):
         raise ValueError("PNG scanline payload length mismatch")
@@ -320,10 +331,16 @@ def avi_decode(data: bytes) -> tuple[np.ndarray, int]:
             if body_start + length > end:
                 raise ValueError(f"AVI chunk {cid!r} truncated")
             if cid == b"LIST":
+                if length < 4:
+                    raise ValueError("AVI LIST chunk too short")
                 walk(body_start + 4, body_start + length)
             elif cid == b"avih":
+                if length < 4:
+                    raise ValueError("AVI avih chunk too short")
                 usec = struct.unpack("<I", data[body_start : body_start + 4])[0]
             elif cid == b"strf":
+                if length < 20:
+                    raise ValueError("AVI strf chunk too short")
                 (_sz, bw, bh, _planes, bits, comp) = struct.unpack(
                     "<IiiHHI", data[body_start : body_start + 20]
                 )

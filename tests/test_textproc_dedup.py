@@ -321,6 +321,71 @@ class TestMultimodal:
         )
         assert out.reset_index(drop=True).equals(want[out.columns])
 
+    def test_codec_roundtrip_fuzz(self):
+        """Hypothesis: encode -> decode is the identity for arbitrary
+        shapes and sample values across all three codecs (the feature
+        stage's correctness reduces to this plus the closed-form sums)."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from raycrawl import multimodal as mm
+
+        rng = np.random.RandomState(17)
+
+        @settings(max_examples=60, deadline=None)
+        @given(
+            st.integers(1, 24),  # h / frames
+            st.integers(1, 24),  # w
+            st.integers(0, 2),   # which codec
+            st.integers(0, 2**31 - 1),
+        )
+        def check(a, b, codec, seed):
+            r = np.random.RandomState(seed % 2**31)
+            if codec == 0:
+                c = 1 if seed % 2 == 0 else 3
+                arr = r.randint(0, 256, size=(a, b, c)).astype(np.uint8)
+                filts = r.randint(0, 5, size=a).tolist()
+                assert np.array_equal(
+                    mm.png_decode(mm.png_encode(arr, row_filters=filts)), arr
+                )
+            elif codec == 1:
+                c = 1 if seed % 2 == 0 else 2
+                arr = r.randint(-32768, 32768, size=(a * b, c)).astype(np.int16)
+                dec, rate = mm.wav_decode(mm.wav_encode(arr, 8000 + b))
+                assert rate == 8000 + b and np.array_equal(dec, arr)
+            else:
+                arr = r.randint(0, 256, size=(max(1, a // 4), a, b, 3)).astype(
+                    np.uint8
+                )
+                dec, fps = mm.avi_decode(mm.avi_encode(arr, fps=1 + b))
+                assert fps == 1 + b and np.array_equal(dec, arr)
+
+        check()
+
+    def test_codec_corruption_fuzz(self):
+        """Hypothesis: random byte flips in real payloads either decode
+        deterministically or raise ValueError — never crash another way
+        (payloads are attacker-shaped bytes at crawl scale)."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from raycrawl import multimodal as mm
+
+        payloads = [mm.synth_png(0), mm.synth_wav(1), mm.synth_avi(2)]
+        decoders = [mm.png_decode, mm.wav_decode, mm.avi_decode]
+
+        @settings(max_examples=150, deadline=None)
+        @given(st.integers(0, 2), st.integers(0, 10_000), st.integers(1, 255))
+        def check(which, pos, flip):
+            raw = bytearray(payloads[which])
+            raw[pos % len(raw)] ^= flip
+            try:
+                decoders[which](bytes(raw))
+            except ValueError:
+                pass
+
+        check()
+
     def test_actor_pool_path_matches_plain(self, ray_session):
         """actor_pool=True (the heavy-codec swap shape) must produce the
         identical feature table as the default plain-task path."""
